@@ -7,10 +7,18 @@ of its CUDA extension (stgx ships a Pallas shift kernel instead).
 
 from stgx.models.stgcn import Stgcn
 from stgx.models.rtstgcn import RtStgcn
+from stgx.models.costgcn import CoStgcn
+from stgx.models.aagcn import AaGcn
+from stgx.models.mstcn import MsTcn
+from stgx.models.msgcn import MsGcn
 
 MODELS = {
     "st-gcn": Stgcn,
+    "co-st-gcn": CoStgcn,
     "rt-st-gcn": RtStgcn,
+    "ms-tcn": MsTcn,
+    "ms-gcn": MsGcn,
+    "aa-gcn": AaGcn,
 }
 
-__all__ = ["MODELS", "Stgcn", "RtStgcn"]
+__all__ = ["MODELS", "Stgcn", "RtStgcn", "CoStgcn", "AaGcn", "MsTcn", "MsGcn"]
