@@ -1,0 +1,238 @@
+"""CLI: ``python -m stgx.cli {train|test|benchmark} [--config F] [--set k=v]``.
+
+The stgx counterpart of the reference's main.py subcommands
+(/root/reference/main.py:42-223): each follows the same spine — build data,
+classes, model, strategy objects; run; write CSV artifacts. Artifacts match
+the reference's set: accuracy.csv, train-validation-curve.csv, macro-F1@k.csv,
+edit.csv, confusion-matrix.csv, segmentation-<i>.csv, latency.csv,
+model-size.csv (SURVEY.md §5.5).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _log_factory(job):
+    def log(msg):
+        print(msg, flush=True)
+
+    return log
+
+
+def _build_all(cfg):
+    import jax
+
+    from stgx.config import build_model
+    from stgx.data import SkeletonDirDataset, class_distribution, load_actions
+    from stgx.parallel.loop import MODEL_KIND, OptimizerConfig, Trainer
+    from stgx.parallel.mesh import make_mesh
+    from stgx.utils import LOSS
+
+    proc, arch, opt, job = cfg["processor"], cfg["arch"], cfg["optimizer"], cfg["job"]
+    data_dir = proc["data"]
+    train_ds = SkeletonDirDataset(
+        os.path.join(data_dir, "train", "features"),
+        os.path.join(data_dir, "train", "labels"),
+    )
+    val_ds = SkeletonDirDataset(
+        os.path.join(data_dir, "val", "features"),
+        os.path.join(data_dir, "val", "labels"),
+    )
+    actions = load_actions(proc["actions"])
+    num_classes = len(actions)
+    class_dist = class_distribution(train_ds, num_classes)
+
+    model = build_model(cfg, num_classes)
+    name = proc["model"]
+    loss = LOSS[name](class_dist, arch.get("output_type", "logits"))
+
+    mesh_conf = job.get("mesh") or {}
+    mesh = None
+    if (mesh_conf.get("data") or 0) * max(mesh_conf.get("seq") or 1, 1) > 1 or (
+        mesh_conf.get("seq") or 1
+    ) > 1:
+        mesh = make_mesh(data=mesh_conf.get("data"), seq=mesh_conf.get("seq", 1))
+
+    trainer = Trainer(
+        model=model,
+        kind=MODEL_KIND[name],
+        loss=loss,
+        opt=OptimizerConfig(
+            learning_rate=opt["learning_rate"],
+            learning_rate_decay=opt["learning_rate_decay"],
+            batch_size=opt["batch_size"],
+            epochs=opt["epochs"],
+            seed=opt["seed"],
+            checkpoint_indices=tuple(opt.get("checkpoint_indices", ())),
+        ),
+        mesh=mesh,
+        receptive_field=arch.get("receptive_field", 50),
+        segment=arch.get("segment"),
+    )
+    return trainer, train_ds, val_ds, actions, num_classes
+
+
+def _metrics(cfg, num_classes):
+    from stgx.utils.metrics import ConfusionMatrix, EditScore, F1Score
+
+    return [
+        F1Score(num_classes, tuple(cfg["processor"]["iou_threshold"])),
+        EditScore(num_classes),
+        ConfusionMatrix(num_classes),
+    ]
+
+
+def _write_curve(path, rows, header):
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows)
+
+
+def _demo_masks(trainer, params, dataset, demo_indices, out_dir, suffix=""):
+    """Per-trial (label, top1) CSV dumps (reference processor.py:308-322)."""
+    for i in demo_indices:
+        if i >= len(dataset):
+            continue
+        x, y = dataset[i]
+        xd, yd, mask = trainer._prepare(x, y)
+        _, _, top1, *_ = trainer._eval_step(xd.shape)(params, xd, yd, mask)
+        top1 = np.asarray(top1).reshape(-1)[: len(y)]
+        _write_curve(
+            os.path.join(out_dir, f"segmentation-{i}{suffix}.csv"),
+            np.stack([np.asarray(y), top1]).T,
+            ["label", "top1"],
+        )
+
+
+def cmd_train(cfg):
+    import jax
+
+    from stgx.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    trainer, train_ds, val_ds, actions, ncls = _build_all(cfg)
+    out_dir = cfg["processor"]["out"]
+    os.makedirs(out_dir, exist_ok=True)
+    log = _log_factory(cfg["job"])
+
+    x0, _ = train_ds[0]
+    sample = (
+        x0[None]
+        if trainer.kind.startswith("frame")
+        else np.zeros(
+            (4, trainer.receptive_field, x0.shape[1], x0.shape[2]), np.float32
+        )
+    )
+    params, opt_state = trainer.init(sample)
+    start_epoch = 0
+    if cfg["processor"].get("checkpoint"):
+        start_epoch, params, opt_state = restore_checkpoint(
+            cfg["processor"]["checkpoint"], params, opt_state
+        )
+        start_epoch += 1
+        log(f"resumed from epoch {start_epoch - 1}")
+
+    curve = []
+    t_start = time.time()
+    for epoch in range(start_epoch, trainer.opt.epochs):
+        params, opt_state, tr = trainer.train_epoch(
+            params, opt_state, train_ds, epoch, log=None
+        )
+        metrics = _metrics(cfg, ncls)
+        ev = trainer.evaluate(params, val_ds, metrics=metrics)
+        curve.append(
+            [epoch, tr["ce"], tr["mse"], ev["ce"], ev["mse"], ev["top1"], ev["top5"]]
+        )
+        log(
+            f"[epoch {epoch}] train ce={tr['ce']:.3f} mse={tr['mse']:.3f} "
+            f"({tr['duration']:.1f}s) | val ce={ev['ce']:.3f} "
+            f"top1={ev['top1']:.3f} top5={ev['top5']:.3f} "
+            f"({ev['duration']:.1f}s) | "
+            + ", ".join(filter(None, (m.log() for m in metrics)))
+        )
+        for m in metrics:
+            m.save(out_dir, suffix=f"-{epoch}")
+        if epoch in trainer.opt.checkpoint_indices:
+            save_checkpoint(out_dir, epoch, params, opt_state)
+
+    save_checkpoint(out_dir, trainer.opt.epochs - 1, params, opt_state, name="final")
+    _write_curve(
+        os.path.join(out_dir, "train-validation-curve.csv"),
+        curve,
+        ["epoch", "train_ce", "train_mse", "val_ce", "val_mse", "top1", "top5"],
+    )
+    _demo_masks(trainer, params, val_ds, cfg["processor"].get("demo", []), out_dir)
+    log(f"training done in {time.time() - t_start:.1f}s → {out_dir}")
+    return 0
+
+
+def cmd_test(cfg):
+    from stgx.utils.checkpoint import latest_epoch, restore_checkpoint
+
+    trainer, train_ds, val_ds, actions, ncls = _build_all(cfg)
+    out_dir = cfg["processor"]["out"]
+    os.makedirs(out_dir, exist_ok=True)
+    log = _log_factory(cfg["job"])
+
+    x0, _ = val_ds[0]
+    sample = (
+        x0[None]
+        if trainer.kind.startswith("frame")
+        else np.zeros(
+            (4, trainer.receptive_field, x0.shape[1], x0.shape[2]), np.float32
+        )
+    )
+    params, opt_state = trainer.init(sample)
+    ckpt = cfg["processor"].get("checkpoint") or latest_epoch(out_dir)
+    if ckpt:
+        _, params, opt_state = restore_checkpoint(ckpt, params, opt_state)
+        log(f"loaded checkpoint {ckpt}")
+
+    metrics = _metrics(cfg, ncls)
+    ev = trainer.evaluate(params, val_ds, metrics=metrics, log=None)
+    for m in metrics:
+        m.save(out_dir, suffix=None)
+    _write_curve(
+        os.path.join(out_dir, "accuracy.csv"),
+        [[ev["top1"], ev["top5"], ev["ce"], ev["mse"]]],
+        ["top1", "top5", "ce", "mse"],
+    )
+    _demo_masks(trainer, params, val_ds, cfg["processor"].get("demo", []), out_dir)
+    log(
+        f"test: top1={ev['top1']:.4f} top5={ev['top5']:.4f} ce={ev['ce']:.3f} | "
+        + ", ".join(filter(None, (m.log() for m in metrics)))
+    )
+    return 0
+
+
+def cmd_benchmark(cfg):
+    from stgx.bench.streaming import run_streaming_benchmark
+
+    return run_streaming_benchmark(cfg)
+
+
+def main(argv=None):
+    from stgx.config import parse_args
+
+    command, cfg = parse_args(argv)
+    platform = cfg["job"].get("platform")
+    if platform:
+        # must run before the JAX backend initializes; the env pins
+        # JAX_PLATFORMS=axon via sitecustomize, so override programmatically
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    return {"train": cmd_train, "test": cmd_test, "benchmark": cmd_benchmark}[
+        command
+    ](cfg)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

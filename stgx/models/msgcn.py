@@ -65,7 +65,7 @@ class MsGcn(nn.Module):
             dropout=self.dropout,
             importance=self.importance,
         )
-        y = gen(windows, train=train)  # (T, classes), window batch = time
+        y = gen(windows, train=train, mask=mask)  # (T, classes), windows = time
         y = y[None]  # (1, T, classes)
         outputs = [out(y)]
         for s in range(self.stages):

@@ -1,0 +1,266 @@
+"""Training/evaluation engine — the stgx counterpart of the reference
+Processor (/root/reference/processor.py:188-982), rebuilt around jitted pure
+steps:
+
+* **unequal-length trials** become static-shape length buckets with frame
+  masks (bounded recompilation) instead of ragged Python loops;
+* **gradient accumulation** reproduces the reference's exact divisor
+  semantics — every trial's loss is divided by ``batch_size`` except the
+  ragged final group, divided by ``len(dataset) % batch_size``
+  (processor.py:531-543) — with grads accumulated across trial steps and
+  applied every ``batch_size`` trials (processor.py:557-564);
+* **learning rate** decays as ``lr · decay^epoch`` (processor.py:260-269);
+* **parallelism** comes from sharding the batch/frames over the ``(data,
+  seq)`` mesh — XLA inserts gradient psums and conv halo exchanges; there is
+  no separate DP/DDP code path;
+* **window models** (st-gcn / aa-gcn family) train on per-frame
+  receptive-field windows processed in ``segment``-sized chunks
+  (WindowSegment semantics, SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from stgx.parallel.segments import pad_to_bucket, sliding_windows
+
+__all__ = ["Trainer", "OptimizerConfig", "MODEL_KIND"]
+
+# how each model family consumes a trial and emits per-frame predictions
+MODEL_KIND = {
+    "st-gcn": "window",
+    "aa-gcn": "window",
+    "shift-gcn": "window",
+    "shift-gcn++": "window",
+    "co-st-gcn": "frame",
+    "rt-st-gcn": "frame",
+    "ms-tcn": "frame_ms",
+    "ms-gcn": "window_ms",
+}
+
+
+@dataclass
+class OptimizerConfig:
+    learning_rate: float = 5e-4
+    learning_rate_decay: float = 1.0
+    batch_size: int = 16
+    epochs: int = 10
+    seed: int = 0
+    checkpoint_indices: tuple = ()
+
+
+@dataclass
+class Trainer:
+    model: Any
+    kind: str  # 'frame' | 'frame_ms' | 'window' | 'window_ms'
+    loss: Any
+    opt: OptimizerConfig
+    mesh: Any = None
+    receptive_field: int = 50  # window size W for window models
+    segment: int | None = None  # window-chunk size (reference 'segment' knob)
+    bucket: int = 128  # length-bucket granularity for frame models
+    _jit_cache: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        self.tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=self.opt.learning_rate
+        )
+        self._apply_updates = jax.jit(
+            lambda grads, opt_state, params: self._apply(grads, opt_state, params)
+        )
+
+    # -- setup ---------------------------------------------------------------
+
+    def init(self, sample_x, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(self.opt.seed)
+        x = jnp.asarray(sample_x)
+        params = self.model.init(rng, x)
+        opt_state = self.tx.init(params)
+        if self.mesh is not None:
+            spec = NamedSharding(self.mesh, P())
+            params = jax.device_put(params, spec)
+            opt_state = jax.device_put(opt_state, spec)
+        return params, opt_state
+
+    def _apply(self, grads, opt_state, params):
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    def set_lr(self, opt_state, epoch: int):
+        """``lr · decay^epoch`` (reference processor.py:265)."""
+        rate = self.opt.learning_rate * (self.opt.learning_rate_decay**epoch)
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(rate)
+        return opt_state
+
+    # -- per-trial forward/grad steps (jitted per bucketed shape) -------------
+
+    def _shard(self, x):
+        if self.mesh is None:
+            return x
+        axes = [None] * x.ndim
+        if x.shape[0] % self.mesh.shape["data"] == 0:
+            axes[0] = "data"
+        if x.ndim > 1 and x.shape[1] % self.mesh.shape["seq"] == 0:
+            axes[1] = "seq"
+        return jax.device_put(x, NamedSharding(self.mesh, P(*axes)))
+
+    def _frame_outputs(self, params, x, mask, train, rngs=None):
+        """Per-frame predictions for loss: (N, L, C) or (S, N, L, C)."""
+        if self.kind in ("frame", "frame_ms"):
+            return self.model.apply(params, x, train=train, mask=mask, rngs=rngs)
+        # window models: x is already a window tensor (B, W, V, C) whose
+        # batch dim is time; predictions form the series (1, B, C).
+        # A fully-padded window is masked out of batch-norm statistics.
+        wmask = jnp.broadcast_to(mask[:, None], (x.shape[0], x.shape[1]))
+        out = self.model.apply(params, x, train=train, mask=wmask, rngs=rngs)
+        if self.kind == "window":
+            return out[None]
+        return out  # window_ms: model emits (S, 1, B, C) already
+
+    def _grad_step(self, shape_key):
+        if ("grad", shape_key) in self._jit_cache:
+            return self._jit_cache[("grad", shape_key)]
+
+        def step(params, x, y, mask, divisor, rng):
+            def loss_fn(p):
+                rngs = {"dropout": rng}
+                out = self._frame_outputs(p, x, mask, train=True, rngs=rngs)
+                lmask = mask[None] if self.kind.startswith("window") else mask
+                ly = y[None] if self.kind.startswith("window") else y
+                ce, mse = self.loss(out, ly, lmask)
+                return (ce + mse) / divisor, (ce, mse)
+
+            (scaled, (ce, mse)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            return grads, ce, mse
+
+        fn = jax.jit(step)
+        self._jit_cache[("grad", shape_key)] = fn
+        return fn
+
+    def _eval_step(self, shape_key):
+        if ("eval", shape_key) in self._jit_cache:
+            return self._jit_cache[("eval", shape_key)]
+
+        def step(params, x, y, mask):
+            out = self._frame_outputs(params, x, mask, train=False)
+            lmask = mask[None] if self.kind.startswith("window") else mask
+            ly = y[None] if self.kind.startswith("window") else y
+            ce, mse = self.loss(out, ly, lmask)
+            frame_logits = out[-1] if self.kind.endswith("_ms") else out
+            top1 = jnp.argmax(frame_logits, axis=-1)
+            k = min(5, frame_logits.shape[-1])
+            _, top5 = jax.lax.top_k(frame_logits, k)
+            m = lmask.astype(bool)
+            c1 = jnp.sum((top1 == ly) & m)
+            c5 = jnp.sum(jnp.any(top5 == ly[..., None], axis=-1) & m)
+            return ce, mse, top1, c1, c5, jnp.sum(m)
+
+        fn = jax.jit(step)
+        self._jit_cache[("eval", shape_key)] = fn
+        return fn
+
+    # -- trial preparation -----------------------------------------------------
+
+    def _prepare(self, x, y):
+        """Bucket-pad one trial and lay it out for the model kind."""
+        xp, yp, mask = pad_to_bucket(x, y, self.bucket)
+        if self.kind in ("frame", "frame_ms"):
+            return (
+                self._shard(jnp.asarray(xp[None])),
+                jnp.asarray(yp[None]),
+                jnp.asarray(mask[None]),
+            )
+        windows = sliding_windows(jnp.asarray(xp[None]), self.receptive_field)[0]
+        return self._shard(windows), jnp.asarray(yp), jnp.asarray(mask)
+
+    # -- epoch loops -----------------------------------------------------------
+
+    def train_epoch(self, params, opt_state, dataset, epoch: int, rng=None,
+                    log: Callable[[str], None] | None = None):
+        """One epoch with trial-level gradient accumulation."""
+        opt_state = self.set_lr(opt_state, epoch)
+        rng = rng if rng is not None else jax.random.PRNGKey(
+            self.opt.seed + 1000 + epoch
+        )
+        n = len(dataset)
+        bs = self.opt.batch_size
+        ragged = n % bs
+        accum = None
+        ce_sum = mse_sum = 0.0
+        t0 = time.time()
+
+        for i in range(n):
+            x, y = dataset[i]
+            xd, yd, mask = self._prepare(x, y)
+            divisor = float(
+                bs if (ragged == 0 or i < n - ragged) else ragged
+            )
+            rng, sub = jax.random.split(rng)
+            grads, ce, mse = self._grad_step(xd.shape)(
+                params, xd, yd, mask, divisor, sub
+            )
+            accum = (
+                grads
+                if accum is None
+                else jax.tree.map(jnp.add, accum, grads)
+            )
+            ce_sum += float(ce)
+            mse_sum += float(mse)
+            if log:
+                log(f"[trial {i}]: loss = {float(ce) + float(mse):.4f}")
+
+            if (i + 1) % bs == 0 or (i + 1) == n:
+                params, opt_state = self._apply_updates(accum, opt_state, params)
+                accum = None
+
+        return params, opt_state, {
+            "ce": ce_sum,
+            "mse": mse_sum,
+            "duration": time.time() - t0,
+        }
+
+    def evaluate(self, params, dataset, metrics=(), num_samples=None,
+                 log: Callable[[str], None] | None = None):
+        """Full-dataset eval: losses, top1/top5, segmental metrics per trial."""
+        for m in metrics:
+            m.init_metric(len(dataset))
+        c1 = c5 = tot = 0
+        ce_sum = mse_sum = 0.0
+        t0 = time.time()
+        for i in range(len(dataset)):
+            if num_samples is not None and i >= num_samples:
+                break
+            x, y = dataset[i]
+            xd, yd, mask = self._prepare(x, y)
+            ce, mse, top1, ic1, ic5, itot = self._eval_step(xd.shape)(
+                params, xd, yd, mask
+            )
+            ce_sum += float(ce)
+            mse_sum += float(mse)
+            c1 += int(ic1)
+            c5 += int(ic5)
+            tot += int(itot)
+            valid = np.asarray(top1).reshape(-1)[: len(y)]
+            for m in metrics:
+                m(np.asarray(y), valid)
+            if log:
+                log(f"[trial {i}]: loss = {float(ce) + float(mse):.4f}")
+        for m in metrics:
+            m.reduce()
+        return {
+            "top1": c1 / max(tot, 1),
+            "top5": c5 / max(tot, 1),
+            "ce": ce_sum,
+            "mse": mse_sum,
+            "duration": time.time() - t0,
+        }

@@ -1,0 +1,142 @@
+"""CLI end-to-end smoke: train → test → benchmark on synthetic data via
+subprocess (the user-facing surface), plus config precedence unit tests."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from stgx.config import build_model, load_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _config(tmp, data_dir):
+    return {
+        "processor": {
+            "model": "rt-st-gcn",
+            "data": data_dir,
+            "out": os.path.join(tmp, "out"),
+            "actions": os.path.join(data_dir, "actions.txt"),
+            "graph": "imu_fogit_ABCD",
+            "demo": [0],
+            "iou_threshold": [0.1, 0.5],
+        },
+        "arch": {
+            "in_feat": 6,
+            "normalization": "LayerNorm",
+            "rt-st-gcn": {
+                "layers": 2,
+                "kernel": 3,
+                "in_ch": [8, 8],
+                "out_ch": [8, 8],
+                "stride": [1, 1],
+                "residual": [1, 1],
+                "dropout": [0, 0],
+                "importance": True,
+            },
+        },
+        "optimizer": {
+            "seed": 1,
+            "epochs": 1,
+            "checkpoint_indices": [0],
+            "learning_rate": 1e-3,
+            "learning_rate_decay": 1.0,
+            "batch_size": 4,
+        },
+        "job": {"verbose": 0, "platform": "cpu"},
+    }
+
+
+@pytest.fixture(scope="module")
+def cli_run(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("cli"))
+    data_dir = os.path.join(tmp, "data")
+    from stgx.data.synth import generate
+
+    generate(data_dir, num_train=4, num_val=2, min_len=80, max_len=150, seed=4)
+    cfg_path = os.path.join(tmp, "cfg.json")
+    cfg = _config(tmp, data_dir)
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    return tmp, cfg_path, cfg
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable, "-m", "stgx.cli", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=500,
+    )
+
+
+def test_train_test_benchmark_pipeline(cli_run):
+    tmp, cfg_path, cfg = cli_run
+    out = cfg["processor"]["out"]
+
+    r = _run(["train", "--config", cfg_path])
+    assert r.returncode == 0, r.stderr[-2000:]
+    for artifact in [
+        "train-validation-curve.csv",
+        "macro-F1@k-0.csv",
+        "edit-0.csv",
+        "confusion-matrix-0.csv",
+        "segmentation-0.csv",
+        "final",
+        "epoch-0",
+    ]:
+        assert os.path.exists(os.path.join(out, artifact)), artifact
+
+    r = _run(["test", "--config", cfg_path])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "top1=" in r.stdout
+    assert os.path.exists(os.path.join(out, "accuracy.csv"))
+
+    r = _run(["benchmark", "--config", cfg_path])
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    result = json.loads(line)
+    assert result["latency_ms_per_frame"] > 0
+    assert os.path.exists(os.path.join(out, "latency.csv"))
+    assert os.path.exists(os.path.join(out, "model-size.csv"))
+
+
+def test_cli_override_precedence(cli_run):
+    tmp, cfg_path, _ = cli_run
+    cfg = load_config(cfg_path, ["optimizer.epochs=99", "arch.kernel=5"])
+    assert cfg["optimizer"]["epochs"] == 99
+    assert cfg["arch"]["kernel"] == 5
+    # untouched JSON values survive
+    assert cfg["processor"]["model"] == "rt-st-gcn"
+
+
+def test_build_model_all_families(cli_run):
+    tmp, cfg_path, base = cli_run
+    for name, extra in [
+        ("st-gcn", {"st-gcn": base["arch"]["rt-st-gcn"]}),
+        ("co-st-gcn", {"st-gcn": base["arch"]["rt-st-gcn"]}),
+        ("rt-st-gcn", {}),
+        ("aa-gcn", {"aa-gcn": base["arch"]["rt-st-gcn"]}),
+        ("ms-tcn", {"ms-tcn": {"stages": 2, "filters": [8, 8], "layers": [2, 2],
+                               "kernel": [3, 3], "dropout": [0, 0]}}),
+        ("ms-gcn", {"st-gcn": base["arch"]["rt-st-gcn"],
+                    "ms-tcn": {"stages": 2, "filters": [8, 8], "layers": [2, 2],
+                               "kernel": [3, 3], "dropout": [0, 0]}}),
+    ]:
+        cfg = json.loads(json.dumps(base))
+        cfg["processor"]["model"] = name
+        cfg["arch"].update(extra)
+        model = build_model(cfg, num_classes=6)
+        assert model is not None, name
+
+
+def test_unknown_model_rejected(cli_run):
+    tmp, cfg_path, base = cli_run
+    cfg = json.loads(json.dumps(base))
+    cfg["processor"]["model"] = "not-a-model"
+    with pytest.raises(ValueError, match="unknown model"):
+        build_model(cfg, num_classes=6)

@@ -1,0 +1,158 @@
+"""End-to-end training smoke: loss decreases and beats chance on synthetic
+data for a frame model and a window model; grad-accumulation divisor
+semantics; checkpoint round trip; segment fold round trip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stgx.data import SkeletonDirDataset, class_distribution, load_actions
+from stgx.data.synth import generate
+from stgx.graph import load_skeleton
+from stgx.models import MODELS
+from stgx.parallel.loop import MODEL_KIND, OptimizerConfig, Trainer
+from stgx.parallel.segments import (
+    fold_segments,
+    segment_overlapping,
+    segment_padding,
+    sliding_windows,
+)
+from stgx.utils import LOSS
+from stgx.utils.metrics import EditScore, F1Score
+
+SKEL = load_skeleton("imu_fogit_ABCD")
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("synth"))
+    info = generate(d, num_train=8, num_val=3, min_len=100, max_len=260, seed=2)
+    train = SkeletonDirDataset(
+        os.path.join(d, "train", "features"), os.path.join(d, "train", "labels")
+    )
+    val = SkeletonDirDataset(
+        os.path.join(d, "val", "features"), os.path.join(d, "val", "labels")
+    )
+    actions = load_actions(info["actions"])
+    dist = class_distribution(train, len(actions))
+    return train, val, dist, len(actions)
+
+
+def _small_arch(num_classes):
+    return dict(
+        num_classes=num_classes, in_feat=6, graph=SKEL, kernel=3,
+        in_ch=(16, 16), out_ch=(16, 32), dropout=(0.0, 0.0), residual=(1, 1),
+        normalization="LayerNorm",
+    )
+
+
+def test_rtstgcn_learns_synth(synth):
+    train, val, dist, ncls = synth
+    model = MODELS["rt-st-gcn"](stride=(1, 1), **_small_arch(ncls))
+    trainer = Trainer(
+        model=model, kind=MODEL_KIND["rt-st-gcn"], loss=LOSS["rt-st-gcn"](dist),
+        opt=OptimizerConfig(learning_rate=2e-3, batch_size=4, epochs=3),
+        bucket=64,
+    )
+    x0, _ = train[0]
+    params, opt_state = trainer.init(x0[None])
+    ev0 = trainer.evaluate(params, val)
+    for epoch in range(3):
+        params, opt_state, st = trainer.train_epoch(
+            params, opt_state, train, epoch
+        )
+    f1 = F1Score(ncls)
+    ed = EditScore(ncls)
+    ev1 = trainer.evaluate(params, val, metrics=[f1, ed])
+    assert ev1["ce"] < ev0["ce"], (ev0, ev1)
+    assert ev1["top1"] > 1.0 / ncls + 0.1, ev1  # well above chance
+    assert f1.value().shape == (3,) and np.isfinite(f1.value()).all()
+    assert np.isfinite(ed.value()).all()
+
+
+def test_stgcn_window_training_step(synth):
+    train, val, dist, ncls = synth
+    model = MODELS["st-gcn"](stride=(1, 1), **_small_arch(ncls))
+    trainer = Trainer(
+        model=model, kind="window", loss=LOSS["st-gcn"](dist),
+        opt=OptimizerConfig(learning_rate=1e-3, batch_size=8, epochs=1),
+        receptive_field=9, bucket=64,
+    )
+    x0, _ = train[0]
+    windows = sliding_windows(jnp.asarray(x0[None]), 9)[0]
+    params, opt_state = trainer.init(windows[:4])
+    params, opt_state, st = trainer.train_epoch(params, opt_state, train, 0)
+    ev = trainer.evaluate(params, val, num_samples=2)
+    assert np.isfinite(ev["ce"]) and 0 <= ev["top1"] <= 1
+
+
+def test_grad_accum_divisor_semantics(synth):
+    # n=8 trials, batch_size=3 → divisors 3,3,3,3,3,3,2,2 (ragged tail = 8%3)
+    train, _, dist, ncls = synth
+    model = MODELS["rt-st-gcn"](stride=(1, 1), **_small_arch(ncls))
+    trainer = Trainer(
+        model=model, kind="frame", loss=LOSS["rt-st-gcn"](dist),
+        opt=OptimizerConfig(batch_size=3), bucket=64,
+    )
+    n, bs = 8, 3
+    ragged = n % bs
+    divs = [bs if i < n - ragged else ragged for i in range(n)]
+    assert divs == [3, 3, 3, 3, 3, 3, 2, 2]
+
+
+def test_lr_decay_schedule(synth):
+    train, _, dist, ncls = synth
+    model = MODELS["rt-st-gcn"](stride=(1, 1), **_small_arch(ncls))
+    trainer = Trainer(
+        model=model, kind="frame", loss=LOSS["rt-st-gcn"](dist),
+        opt=OptimizerConfig(learning_rate=0.1, learning_rate_decay=0.5),
+        bucket=64,
+    )
+    x0, _ = train[0]
+    params, opt_state = trainer.init(x0[None])
+    opt_state = trainer.set_lr(opt_state, 3)
+    np.testing.assert_allclose(
+        float(opt_state.hyperparams["learning_rate"]), 0.1 * 0.5**3
+    )
+
+
+def test_checkpoint_roundtrip(synth, tmp_path):
+    from stgx.utils.checkpoint import (
+        latest_epoch,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    train, _, dist, ncls = synth
+    model = MODELS["rt-st-gcn"](stride=(1, 1), **_small_arch(ncls))
+    trainer = Trainer(
+        model=model, kind="frame", loss=LOSS["rt-st-gcn"](dist),
+        opt=OptimizerConfig(), bucket=64,
+    )
+    x0, _ = train[0]
+    params, opt_state = trainer.init(x0[None])
+    save_checkpoint(str(tmp_path), 7, params, opt_state)
+    path = latest_epoch(str(tmp_path))
+    assert path and path.endswith("epoch-7")
+    epoch, p2, o2 = restore_checkpoint(path, params, opt_state)
+    assert epoch == 7
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_segment_fold_roundtrip():
+    # generalizes the reference's test_folding.py: unfold with overlap Γ,
+    # zero overlaps, fold → identity on per-frame predictions
+    rng = np.random.default_rng(0)
+    L, gamma, seg = 137, 9, 40
+    preds = rng.normal(size=(1, L, 5)).astype(np.float32)
+    pad = segment_padding(L, seg, gamma)
+    padded = np.pad(preds, ((0, 0), (0, pad), (0, 0)))
+    chunks = segment_overlapping(
+        jnp.asarray(padded)[..., None, :], seg, gamma
+    )[:, :, 0, :]
+    out = fold_segments(chunks, L, gamma)
+    np.testing.assert_allclose(np.asarray(out), preds, atol=1e-6)
