@@ -78,13 +78,16 @@ def measure_stream_latency(model, name, params, frames, warmup: int = 20):
     )
 
 
-def measure_stream_latency_onchip(model, name, params, frames, repeats: int = 5):
+def measure_stream_latency_onchip(model, name, params, frames, repeats: int = 4):
     """Amortized per-frame latency with the streaming loop kept on-device.
 
     The per-frame recurrence (FIFO carry) stays strictly sequential inside a
     ``lax.scan``, so this measures the hardware's real frame-to-frame compute
-    latency without host dispatch (which, through a remote TPU tunnel,
-    otherwise dominates at ~30 ms RTT per call).
+    latency. Two defenses against the remote-TPU tunnel's measurement traps:
+    results are read back to host inside the timed region (async dispatch
+    otherwise returns before execution), and the per-frame cost is taken as
+    the **slope** between a short and a long stream, cancelling the fixed
+    per-call RTT (~30 ms through the tunnel).
     """
     import jax
     import jax.numpy as jnp
@@ -99,21 +102,27 @@ def measure_stream_latency_onchip(model, name, params, frames, repeats: int = 5)
             return new_state, logits
 
         final, ys = jax.lax.scan(body, state, frames)
-        return ys
+        return ys[-1]  # small readback forces full execution
 
     frames = jnp.asarray(frames)
-    jax.block_until_ready(run(params, state, frames))  # compile
-    times = []
-    for r in range(repeats):
-        # vary the input every repeat — identical launches can be served
-        # from a cache by remote executors, faking sub-µs frames
-        fr = frames * (1.0 + 0.01 * r)
-        jax.block_until_ready(fr)
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(params, state, fr))
-        times.append(time.perf_counter() - t0)
-    per_frame_ms = min(times) / frames.shape[0] * 1e3
-    return float(per_frame_ms)
+    l_long = frames.shape[0]
+    l_short = max(l_long // 8, 1)
+
+    def timed(fr):
+        np.asarray(run(params, state, fr))  # compile + warm
+        best = float("inf")
+        for r in range(repeats):
+            fr_r = fr * (1.0 + 0.01 * r)  # defeat result caching
+            np.asarray(fr_r)
+            t0 = time.perf_counter()
+            np.asarray(run(params, state, fr_r))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short = timed(frames[:l_short])
+    t_long = timed(frames)
+    per_frame_ms = (t_long - t_short) / (l_long - l_short) * 1e3
+    return float(max(per_frame_ms, 0.0))
 
 
 def run_streaming_benchmark(cfg) -> int:

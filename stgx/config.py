@@ -193,4 +193,16 @@ def build_model(cfg: dict, num_classes: int):
             **kw,
         )
 
+    if name == "shift-gcn":
+        sub = arch.get("shift-gcn", {})
+        kw = dict(common)
+        for key in ("in_ch", "out_ch", "stride", "residual"):
+            if key in sub:
+                kw[key] = tuple(sub[key])
+        return MODELS[name](**kw)
+
+    if name == "shift-gcn++":
+        sub = arch.get("shift-gcn++", {})
+        return MODELS[name](c_mul=sub.get("c_mul", 4), **common)
+
     raise ValueError(f"unknown model: {name!r} (have {sorted(MODELS)})")

@@ -11,6 +11,8 @@ from stgx.models.costgcn import CoStgcn
 from stgx.models.aagcn import AaGcn
 from stgx.models.mstcn import MsTcn
 from stgx.models.msgcn import MsGcn
+from stgx.models.shiftgcn import ShiftGcn
+from stgx.models.shiftgcn_plus import ShiftGcnPlus
 
 MODELS = {
     "st-gcn": Stgcn,
@@ -19,6 +21,11 @@ MODELS = {
     "ms-tcn": MsTcn,
     "ms-gcn": MsGcn,
     "aa-gcn": AaGcn,
+    "shift-gcn": ShiftGcn,
+    "shift-gcn++": ShiftGcnPlus,
 }
 
-__all__ = ["MODELS", "Stgcn", "RtStgcn", "CoStgcn", "AaGcn", "MsTcn", "MsGcn"]
+__all__ = [
+    "MODELS", "Stgcn", "RtStgcn", "CoStgcn", "AaGcn", "MsTcn", "MsGcn",
+    "ShiftGcn", "ShiftGcnPlus",
+]

@@ -113,17 +113,25 @@ class Trainer:
         return jax.device_put(x, NamedSharding(self.mesh, P(*axes)))
 
     def _frame_outputs(self, params, x, mask, train, rngs=None):
-        """Per-frame predictions for loss: (N, L, C) or (S, N, L, C)."""
+        """Per-frame predictions for loss: ((N, L, C) or (S, N, L, C), aux).
+
+        ``aux`` is an auxiliary scalar loss some models emit alongside their
+        logits (the shift-gcn++ distillation wrapper); zero otherwise.
+        """
         if self.kind in ("frame", "frame_ms"):
-            return self.model.apply(params, x, train=train, mask=mask, rngs=rngs)
-        # window models: x is already a window tensor (B, W, V, C) whose
-        # batch dim is time; predictions form the series (1, B, C).
-        # A fully-padded window is masked out of batch-norm statistics.
-        wmask = jnp.broadcast_to(mask[:, None], (x.shape[0], x.shape[1]))
-        out = self.model.apply(params, x, train=train, mask=wmask, rngs=rngs)
+            out = self.model.apply(params, x, train=train, mask=mask, rngs=rngs)
+        else:
+            # window models: x is already a window tensor (B, W, V, C) whose
+            # batch dim is time; predictions form the series (1, B, C).
+            # A fully-padded window is masked out of batch-norm statistics.
+            wmask = jnp.broadcast_to(mask[:, None], (x.shape[0], x.shape[1]))
+            out = self.model.apply(params, x, train=train, mask=wmask, rngs=rngs)
+        aux = 0.0
+        if isinstance(out, tuple):
+            out, aux = out
         if self.kind == "window":
-            return out[None]
-        return out  # window_ms: model emits (S, 1, B, C) already
+            out = out[None]
+        return out, aux
 
     def _grad_step(self, shape_key):
         if ("grad", shape_key) in self._jit_cache:
@@ -132,11 +140,11 @@ class Trainer:
         def step(params, x, y, mask, divisor, rng):
             def loss_fn(p):
                 rngs = {"dropout": rng}
-                out = self._frame_outputs(p, x, mask, train=True, rngs=rngs)
+                out, aux = self._frame_outputs(p, x, mask, train=True, rngs=rngs)
                 lmask = mask[None] if self.kind.startswith("window") else mask
                 ly = y[None] if self.kind.startswith("window") else y
                 ce, mse = self.loss(out, ly, lmask)
-                return (ce + mse) / divisor, (ce, mse)
+                return (ce + mse + aux) / divisor, (ce, mse)
 
             (scaled, (ce, mse)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -152,7 +160,7 @@ class Trainer:
             return self._jit_cache[("eval", shape_key)]
 
         def step(params, x, y, mask):
-            out = self._frame_outputs(params, x, mask, train=False)
+            out, _ = self._frame_outputs(params, x, mask, train=False)
             lmask = mask[None] if self.kind.startswith("window") else mask
             ly = y[None] if self.kind.startswith("window") else y
             ce, mse = self.loss(out, ly, lmask)
