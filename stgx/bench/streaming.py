@@ -163,14 +163,56 @@ def run_streaming_benchmark(cfg) -> int:
     acc = float((top1 == y[:n_frames]).mean())
     size_mb = param_bytes(params) / 1e6
 
+    # int8 PTQ pass (rt-st-gcn streaming cell; reference processor.py:905-939)
+    int8 = {}
+    if name == "rt-st-gcn":
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+
+        from stgx.bench.quant import (
+            init_quant_stream_state,
+            quantize_rtstgcn,
+            quantized_size_bytes,
+            quantized_stream_step,
+        )
+
+        qparams = quantize_rtstgcn(model, params)
+        qstate = init_quant_stream_state(model)
+
+        @jax.jit
+        def qstep(qparams, state, x_t):
+            return quantized_stream_step(model, qparams, state, x_t)
+
+        frames_q = jnp.asarray(x[:n_frames])
+        for _ in range(10):  # warm
+            ql, qs = qstep(qparams, qstate, frames_q[0][None])
+            jax.block_until_ready(ql)
+        qtimes, qouts = [], []
+        st = qstate
+        for t in range(n_frames):
+            t0 = _time.perf_counter()
+            ql, st = qstep(qparams, st, frames_q[t][None])
+            jax.block_until_ready(ql)
+            qtimes.append(_time.perf_counter() - t0)
+            qouts.append(np.asarray(ql)[0])
+        q_top1 = np.stack(qouts).argmax(-1)
+        int8 = {
+            "int8_p50_ms": float(np.percentile(np.asarray(qtimes) * 1e3, 50)),
+            "int8_top1": float((q_top1 == y[:n_frames]).mean()),
+            "int8_size_mb": quantized_size_bytes(qparams) / 1e6,
+            "int8_agrees_fp32": float((q_top1 == top1).mean()),
+        }
+
     with open(os.path.join(out_dir, "latency.csv"), "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["mean_ms", "p50_ms", "p99_ms", "frames"])
-        w.writerow([mean_ms, p50_ms, p99_ms, n_frames])
+        w.writerow(["mean_ms", "p50_ms", "p99_ms", "frames", "int8_p50_ms"])
+        w.writerow([mean_ms, p50_ms, p99_ms, n_frames, int8.get("int8_p50_ms")])
     with open(os.path.join(out_dir, "model-size.csv"), "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["fp32_mb"])
-        w.writerow([size_mb])
+        w.writerow(["fp32_mb", "int8_mb"])
+        w.writerow([size_mb, int8.get("int8_size_mb")])
 
     print(
         json.dumps(
@@ -181,6 +223,7 @@ def run_streaming_benchmark(cfg) -> int:
                 "p99_ms": p99_ms,
                 "top1": acc,
                 "model_size_mb": size_mb,
+                **int8,
             }
         )
     )
