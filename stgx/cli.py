@@ -37,14 +37,29 @@ def _build_all(cfg):
 
     proc, arch, opt, job = cfg["processor"], cfg["arch"], cfg["optimizer"], cfg["job"]
     data_dir = proc["data"]
-    train_ds = SkeletonDirDataset(
-        os.path.join(data_dir, "train", "features"),
-        os.path.join(data_dir, "train", "labels"),
-    )
-    val_ds = SkeletonDirDataset(
-        os.path.join(data_dir, "val", "features"),
-        os.path.join(data_dir, "val", "labels"),
-    )
+    if proc.get("dataset_type", "dir") == "file":
+        # single mmap'd file per split: {data}/{split}_data.npy +
+        # {data}/{split}_label.pkl (the intended behavior of the reference's
+        # bitrotted file path, SURVEY.md §5.9)
+        from stgx.data import SkeletonFileDataset
+
+        train_ds = SkeletonFileDataset(
+            os.path.join(data_dir, "train_data.npy"),
+            os.path.join(data_dir, "train_label.pkl"),
+        )
+        val_ds = SkeletonFileDataset(
+            os.path.join(data_dir, "val_data.npy"),
+            os.path.join(data_dir, "val_label.pkl"),
+        )
+    else:
+        train_ds = SkeletonDirDataset(
+            os.path.join(data_dir, "train", "features"),
+            os.path.join(data_dir, "train", "labels"),
+        )
+        val_ds = SkeletonDirDataset(
+            os.path.join(data_dir, "val", "features"),
+            os.path.join(data_dir, "val", "labels"),
+        )
     actions = load_actions(proc["actions"])
     num_classes = len(actions)
     class_dist = class_distribution(train_ds, num_classes)
@@ -139,12 +154,21 @@ def cmd_train(cfg):
         start_epoch += 1
         log(f"resumed from epoch {start_epoch - 1}")
 
+    # optional device profiling of the first trained epoch (SURVEY.md §5.1:
+    # the reference only had wall clocks; this writes a real XLA trace
+    # viewable in TensorBoard/Perfetto)
+    profile_dir = cfg["job"].get("profile")
     curve = []
     t_start = time.time()
     for epoch in range(start_epoch, trainer.opt.epochs):
+        if profile_dir and epoch == start_epoch:
+            jax.profiler.start_trace(profile_dir)
         params, opt_state, tr = trainer.train_epoch(
             params, opt_state, train_ds, epoch, log=None
         )
+        if profile_dir and epoch == start_epoch:
+            jax.profiler.stop_trace()
+            log(f"profile trace → {profile_dir}")
         metrics = _metrics(cfg, ncls)
         ev = trainer.evaluate(params, val_ds, metrics=metrics)
         curve.append(
