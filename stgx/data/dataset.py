@@ -76,12 +76,21 @@ class SkeletonDirDataset:
 
     def __getitem__(self, index: int):
         name = self.names[index]
-        data = np.load(os.path.join(self.data_dir, f"{name}.npy"))[:, :, :, 0]
+        data = self._load(os.path.join(self.data_dir, f"{name}.npy"))[:, :, :, 0]
         labels = np.loadtxt(
             os.path.join(self.label_dir, f"{name}.csv"), delimiter=",",
             dtype=np.float64,
         ).astype(np.int64)
         return _to_lvc(data), labels
+
+    @staticmethod
+    def _load(path):
+        try:
+            from stgx.native import load_npy_f32
+
+            return load_npy_f32(path)
+        except Exception:
+            return np.load(path).astype(np.float32)
 
     def lengths(self) -> list[int]:
         """Trial lengths without loading features (reads label CSVs)."""

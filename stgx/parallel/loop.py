@@ -191,6 +191,24 @@ class Trainer:
         windows = sliding_windows(jnp.asarray(xp[None]), self.receptive_field)[0]
         return self._shard(windows), jnp.asarray(yp), jnp.asarray(mask)
 
+    def _window_chunks(self, xd, yd, mask):
+        """Split a trial's window tensor into ``segment``-sized chunks (the
+        reference's memory-bounding knob, WindowSegment.get_segment,
+        segment_generator.py:132-145). Bucketing guarantees divisibility when
+        ``segment`` divides ``bucket``."""
+        if self.segment is None or not self.kind.startswith("window"):
+            return [(xd, yd, mask)]
+        seg = self.segment
+        b = xd.shape[0]
+        if b <= seg:
+            return [(xd, yd, mask)]
+        n_chunks = -(-b // seg)
+        chunks = []
+        for i in range(n_chunks):
+            sl = slice(i * seg, min((i + 1) * seg, b))
+            chunks.append((xd[sl], yd[sl], mask[sl]))
+        return chunks
+
     # -- epoch loops -----------------------------------------------------------
 
     def train_epoch(self, params, opt_state, dataset, epoch: int, rng=None,
@@ -213,19 +231,26 @@ class Trainer:
             divisor = float(
                 bs if (ragged == 0 or i < n - ragged) else ragged
             )
-            rng, sub = jax.random.split(rng)
-            grads, ce, mse = self._grad_step(xd.shape)(
-                params, xd, yd, mask, divisor, sub
-            )
-            accum = (
-                grads
-                if accum is None
-                else jax.tree.map(jnp.add, accum, grads)
-            )
-            ce_sum += float(ce)
-            mse_sum += float(mse)
+            chunks = self._window_chunks(xd, yd, mask)
+            trial_ce = trial_mse = 0.0
+            for cx, cy, cm in chunks:
+                rng, sub = jax.random.split(rng)
+                # per-chunk loss divided by the chunk count, reproducing the
+                # reference's ce/num_subsegments (processor.py:392,532-543)
+                grads, ce, mse = self._grad_step(cx.shape)(
+                    params, cx, cy, cm, divisor * len(chunks), sub
+                )
+                accum = (
+                    grads
+                    if accum is None
+                    else jax.tree.map(jnp.add, accum, grads)
+                )
+                trial_ce += float(ce) / len(chunks)
+                trial_mse += float(mse) / len(chunks)
+            ce_sum += trial_ce
+            mse_sum += trial_mse
             if log:
-                log(f"[trial {i}]: loss = {float(ce) + float(mse):.4f}")
+                log(f"[trial {i}]: loss = {trial_ce + trial_mse:.4f}")
 
             if (i + 1) % bs == 0 or (i + 1) == n:
                 params, opt_state = self._apply_updates(accum, opt_state, params)
@@ -250,15 +275,19 @@ class Trainer:
                 break
             x, y = dataset[i]
             xd, yd, mask = self._prepare(x, y)
-            ce, mse, top1, ic1, ic5, itot = self._eval_step(xd.shape)(
-                params, xd, yd, mask
-            )
-            ce_sum += float(ce)
-            mse_sum += float(mse)
-            c1 += int(ic1)
-            c5 += int(ic5)
-            tot += int(itot)
-            valid = np.asarray(top1).reshape(-1)[: len(y)]
+            chunks = self._window_chunks(xd, yd, mask)
+            top1_parts = []
+            for cx, cy, cm in chunks:
+                ce, mse, top1, ic1, ic5, itot = self._eval_step(cx.shape)(
+                    params, cx, cy, cm
+                )
+                ce_sum += float(ce) / len(chunks)
+                mse_sum += float(mse) / len(chunks)
+                c1 += int(ic1)
+                c5 += int(ic5)
+                tot += int(itot)
+                top1_parts.append(np.asarray(top1).reshape(-1))
+            valid = np.concatenate(top1_parts)[: len(y)]
             for m in metrics:
                 m(np.asarray(y), valid)
             if log:

@@ -1,0 +1,66 @@
+"""Analytic MACs / parameter-memory counters for the model families.
+
+Reproduces the complexity metrics the reference publishes per model
+(README.md:263-272: MACs, memory words, latency). Per-frame MACs for the
+continual models; per-window for the window classifiers.
+"""
+
+from __future__ import annotations
+
+__all__ = ["rt_stgcn_macs_per_frame", "stgcn_macs_per_window", "param_words"]
+
+
+def rt_stgcn_macs_per_frame(
+    num_joints: int = 25,
+    partitions: int = 3,
+    in_feat: int = 3,
+    num_classes: int = 52,
+    in_ch=(64, 64, 64, 64, 128, 128, 128, 256, 256),
+    out_ch=(64, 64, 64, 128, 128, 128, 256, 256, 256),
+    residual=(1,) * 9,
+) -> int:
+    """MACs to advance the streaming RT-ST-GCN by one frame."""
+    v, p = num_joints, partitions
+    macs = v * in_feat * in_ch[0]  # fcn_in
+    for cin, cout, res in zip(in_ch, out_ch, residual):
+        macs += v * cin * cout * p  # partition-wise 1×1 conv
+        macs += p * v * v * cout  # adjacency aggregation
+        if res and cin != cout:
+            macs += v * cin * cout  # residual 1×1
+    macs += out_ch[-1] * num_classes  # fcn_out (after joint pool)
+    return macs
+
+
+def stgcn_macs_per_window(
+    window: int = 50,
+    num_joints: int = 25,
+    partitions: int = 3,
+    in_feat: int = 3,
+    num_classes: int = 52,
+    kernel: int = 9,
+    in_ch=(64, 64, 64, 64, 128, 128, 128, 256, 256),
+    out_ch=(64, 64, 64, 128, 128, 128, 256, 256, 256),
+    stride=(1, 1, 1, 2, 1, 1, 2, 1, 1),
+    residual=(1,) * 9,
+) -> int:
+    """MACs for one ST-GCN window classification."""
+    v, p = num_joints, partitions
+    l = window
+    macs = l * v * in_feat * in_ch[0]
+    for cin, cout, s, res in zip(in_ch, out_ch, stride, residual):
+        macs += l * v * cin * cout * p  # gcn 1×1
+        macs += l * p * v * v * cout  # adjacency
+        lo = -(-l // s)
+        macs += lo * v * cout * cout * kernel  # temporal conv
+        if res and (cin != cout or s != 1):
+            macs += lo * v * cin * cout
+        l = lo
+    macs += out_ch[-1] * num_classes
+    return macs
+
+
+def param_words(params) -> int:
+    """Parameter count ('memory words' in the reference's table)."""
+    import jax
+
+    return sum(int(x.size) for x in jax.tree.leaves(params))
