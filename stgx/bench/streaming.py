@@ -27,19 +27,44 @@ def param_bytes(params) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
 
 
+WINDOW_MODELS = ("st-gcn", "aa-gcn", "shift-gcn", "shift-gcn++")
+
+
 def _streaming_fns(name):
     if name == "rt-st-gcn":
         from stgx.models import rtstgcn as mod
     elif name == "co-st-gcn":
         from stgx.models import costgcn as mod
+    elif name in WINDOW_MODELS:
+        # window classifiers stream by re-running the window per frame
+        # (reference WindowSegment.get_segment_rt, segment_generator.py:147-149)
+        return None, None
     else:
-        raise ValueError(
-            f"streaming benchmark supports rt-st-gcn / co-st-gcn, got {name!r}"
-        )
+        raise ValueError(f"no streaming form for model {name!r}")
     return mod.init_stream_state, mod.stream_step
 
 
-def measure_stream_latency(model, name, params, frames, warmup: int = 20):
+def _window_stream_fns(model, window: int):
+    import jax
+    import jax.numpy as jnp
+
+    def init_state(model_, params, batch=1, dtype=jnp.float32):
+        v = model_.graph["num_node"]
+        c = model_.in_feat
+        return {"buf": jnp.zeros((batch, window, v, c), dtype=dtype)}
+
+    def stream_step(model_, params, state, x_t):
+        buf = jnp.roll(state["buf"], -1, axis=1).at[:, -1].set(x_t)
+        out = model_.apply(params, buf)
+        if isinstance(out, tuple):
+            out = out[0]
+        return out, {"buf": buf}
+
+    return init_state, stream_step
+
+
+def measure_stream_latency(model, name, params, frames, warmup: int = 20,
+                           window: int = 50):
     """Per-frame latency stats over a ``(L, V, C)`` capture.
 
     Returns (mean_ms, p50_ms, p99_ms, logits (L, classes)).
@@ -48,6 +73,8 @@ def measure_stream_latency(model, name, params, frames, warmup: int = 20):
     import jax.numpy as jnp
 
     init_state, stream_step = _streaming_fns(name)
+    if init_state is None:
+        init_state, stream_step = _window_stream_fns(model, window)
     state = init_state(model, params, batch=1)
 
     @jax.jit
@@ -78,7 +105,8 @@ def measure_stream_latency(model, name, params, frames, warmup: int = 20):
     )
 
 
-def measure_stream_latency_onchip(model, name, params, frames, repeats: int = 4):
+def measure_stream_latency_onchip(model, name, params, frames, repeats: int = 4,
+                                  window: int = 50):
     """Amortized per-frame latency with the streaming loop kept on-device.
 
     The per-frame recurrence (FIFO carry) stays strictly sequential inside a
@@ -93,6 +121,8 @@ def measure_stream_latency_onchip(model, name, params, frames, repeats: int = 4)
     import jax.numpy as jnp
 
     init_state, stream_step = _streaming_fns(name)
+    if init_state is None:
+        init_state, stream_step = _window_stream_fns(model, window)
     state = init_state(model, params, batch=1)
 
     @jax.jit
@@ -157,7 +187,8 @@ def run_streaming_benchmark(cfg) -> int:
 
     n_frames = min(len(x), 256)
     mean_ms, p50_ms, p99_ms, logits = measure_stream_latency(
-        model, name, params, x[:n_frames]
+        model, name, params, x[:n_frames],
+        window=cfg["arch"].get("receptive_field", 50),
     )
     top1 = logits.argmax(-1)
     acc = float((top1 == y[:n_frames]).mean())

@@ -194,6 +194,17 @@ def cmd_train(cfg):
     )
     _demo_masks(trainer, params, val_ds, cfg["processor"].get("demo", []), out_dir)
     log(f"training done in {time.time() - t_start:.1f}s → {out_dir}")
+
+    from stgx.utils.notify import backup_results, send_mail
+
+    copied = backup_results(out_dir, cfg["processor"].get("backup"))
+    if copied:
+        log(f"backed up {len(copied)} artifacts → {cfg['processor']['backup']}")
+    send_mail(
+        cfg["job"].get("email"),
+        f"stgx train complete: {cfg['processor']['model']}",
+        f"epochs={trainer.opt.epochs} out={out_dir}\nlast: {curve[-1] if curve else '-'}",
+    )
     return 0
 
 
@@ -253,6 +264,13 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", platform)
+    if cfg["job"].get("distributed"):
+        # multi-host pod slice: every host runs this same process; the mesh
+        # then spans jax.devices() across hosts (reference's never-realized
+        # DDP aspiration, SURVEY.md §2.bis)
+        import jax
+
+        jax.distributed.initialize()
     return {"train": cmd_train, "test": cmd_test, "benchmark": cmd_benchmark}[
         command
     ](cfg)
