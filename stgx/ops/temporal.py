@@ -67,7 +67,7 @@ def temporal_conv(x, W, b=None, stride: int = 1, dilation: int = 1,
     # treat V as a second spatial dim with kernel 1: NHWC x HWIO -> NHWC
     y = lax.conv_general_dilated(
         x,
-        W[:, None],  # (Γ, 1, C_in, C_out)
+        W[:, None].astype(x.dtype),  # (Γ, 1, C_in, C_out)
         window_strides=(stride, 1),
         padding=pad + [(0, 0)],
         rhs_dilation=(dilation, 1),
@@ -87,25 +87,28 @@ def causal_accumulate(x, kernel_size: int, stride: int):
     as the input — the RT model never downsamples time; ``stride`` only
     widens the tap spacing (reference rtstgcn.py:368-379).
 
-    Implemented as a dilated depthwise conv with a kernel of ones, which XLA
-    lowers to a handful of fused adds — no L×L Toeplitz materialization.
+    Implemented as a cumulative-sum difference per stride phase:
+    ``y[t] = cs[t] - cs[t - K·s]`` where ``cs`` accumulates frames of the same
+    ``t mod s`` phase. This is O(log L) VPU passes independent of Γ — a
+    1-channel "conv of ones" would be MXU-hostile, and an L×L Toeplitz matmul
+    (the reference's construction) wastes O(L²) work.
     """
     k = kernel_size // stride
     n, l, v, c = x.shape
-    # y[t] = sum_{i=0..k-1} x[t - i*stride]  == causal dilated conv of ones
-    ones = jnp.ones((k, 1, 1), dtype=x.dtype)
-    eff = (k - 1) * stride
-    y = lax.conv_general_dilated(
-        x.reshape(n, l, v * c, 1),
-        ones[:, None],  # (k,1,1,1)
-        window_strides=(1, 1),
-        padding=[(eff, 0), (0, 0)],
-        rhs_dilation=(stride, 1),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=1,
-        preferred_element_type=jnp.float32,
-    )
-    return y.reshape(n, l, v, c).astype(x.dtype)
+    if k <= 1:
+        return x
+    if stride == 1:
+        cs = jnp.cumsum(x, axis=1, dtype=jnp.float32)
+        y = cs - jnp.pad(cs, ((0, 0), (k, 0), (0, 0), (0, 0)))[:, :l]
+        return y.astype(x.dtype)
+    # phase decomposition: pad L to a stride multiple, reshape to
+    # (phase-major) (n, l', s, v, c), cumsum over the per-phase time axis
+    lp = -(-l // stride) * stride
+    xp = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0), (0, 0)))
+    xp = xp.reshape(n, lp // stride, stride, v, c)
+    cs = jnp.cumsum(xp, axis=1, dtype=jnp.float32)
+    y = cs - jnp.pad(cs, ((0, 0), (k, 0), (0, 0), (0, 0), (0, 0)))[:, : lp // stride]
+    return y.reshape(n, lp, v, c)[:, :l].astype(x.dtype)
 
 
 def init_accumulator_state(batch, num_joints, channels, kernel_size, stride,

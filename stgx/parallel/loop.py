@@ -73,8 +73,11 @@ class Trainer:
         self.tx = optax.inject_hyperparams(optax.adam)(
             learning_rate=self.opt.learning_rate
         )
+        # donate grads + opt state + params: the update rewrites all three,
+        # so XLA reuses their buffers instead of allocating fresh HBM
         self._apply_updates = jax.jit(
-            lambda grads, opt_state, params: self._apply(grads, opt_state, params)
+            lambda grads, opt_state, params: self._apply(grads, opt_state, params),
+            donate_argnums=(0, 1, 2),
         )
 
     # -- setup ---------------------------------------------------------------
