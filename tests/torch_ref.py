@@ -209,6 +209,30 @@ def copy_stgcn_layer(lp, tlayer, kind):
     copy_tcn_conv(lp["tcn_kernel"], lp["tcn_bias"], tlayer.tcn[2])
 
 
+def copy_ref_stgcn_layer(lp, layer, kind):
+    """Copy an stgx StgcnLayer param tree into the REFERENCE StgcnLayer
+    (models/stgcn/stgcn.py:104-193 interface: .gcn.conv, .tcn[0..4],
+    .residual, .is_residual_conv)."""
+    copy_graph_conv(lp["GraphConv_0"], layer.gcn)
+    norms = sorted(k for k in lp if k.startswith(("LayerNorm", "BatchNorm")))
+    idx = 0
+    if getattr(layer, "is_residual_conv", False):
+        with torch.no_grad():
+            layer.residual[0].weight.copy_(
+                torch.from_numpy(
+                    np.asarray(lp["res_kernel"]).T[:, :, None, None].copy()
+                )
+            )
+            layer.residual[0].bias.copy_(
+                torch.from_numpy(np.asarray(lp["res_bias"]).copy())
+            )
+        copy_norm(lp[norms[idx]], layer.residual[1], kind)
+        idx += 1
+    copy_norm(lp[norms[idx]], layer.tcn[0], kind)
+    copy_norm(lp[norms[idx + 1]], layer.tcn[3], kind)
+    copy_tcn_conv(lp["tcn_kernel"], lp["tcn_bias"], layer.tcn[2])
+
+
 def copy_stgcn(params, tmodel, kind):
     p = params["params"]
     copy_norm(
