@@ -90,6 +90,7 @@ def _build_all(cfg):
         mesh=mesh,
         receptive_field=arch.get("receptive_field", 50),
         segment=arch.get("segment"),
+        trial_batch=opt.get("trial_batch", 1),
     )
     return trainer, train_ds, val_ds, actions, num_classes
 

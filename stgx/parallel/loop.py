@@ -67,6 +67,11 @@ class Trainer:
     receptive_field: int = 50  # window size W for window models
     segment: int | None = None  # window-chunk size (reference 'segment' knob)
     bucket: int = 128  # length-bucket granularity for frame models
+    # stack up to this many same-bucket trials into one device step (frame
+    # kinds). Each stacked trial keeps its own loss normalization and
+    # accumulation divisor; note BatchNorm statistics then span the stack —
+    # the reference's own file-mode batching behavior (processor.py:61-84)
+    trial_batch: int = 1
     _jit_cache: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -135,6 +140,32 @@ class Trainer:
         if self.kind == "window":
             out = out[None]
         return out, aux
+
+    def _grad_step_batched(self, shape_key):
+        """Grad step over a stack of independent same-length trials; each row
+        keeps its own per-trial loss mean and accumulation divisor."""
+        if ("gradb", shape_key) in self._jit_cache:
+            return self._jit_cache[("gradb", shape_key)]
+
+        def step(params, x, y, mask, divisors, rng):
+            def loss_fn(p):
+                out = self.model.apply(
+                    p, x, train=True, mask=mask, rngs={"dropout": rng}
+                )
+                if isinstance(out, tuple):
+                    out = out[0]
+                ce_v, mse_v = self.loss(out, y, mask, per_sample=True)
+                scaled = jnp.sum((ce_v + mse_v) / divisors)
+                return scaled, (jnp.sum(ce_v), jnp.sum(mse_v))
+
+            (_, (ce, mse)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            return grads, ce, mse
+
+        fn = jax.jit(step)
+        self._jit_cache[("gradb", shape_key)] = fn
+        return fn
 
     def _grad_step(self, shape_key):
         if ("grad", shape_key) in self._jit_cache:
@@ -214,6 +245,69 @@ class Trainer:
 
     # -- epoch loops -----------------------------------------------------------
 
+    def _batched_epoch(self, params, opt_state, dataset, rng, log):
+        """Frame-kind epoch with same-bucket trials stacked per device step."""
+        n = len(dataset)
+        bs = self.opt.batch_size
+        ragged = n % bs
+        accum = None
+        ce_sum = mse_sum = 0.0
+        t0 = time.time()
+
+        i = 0
+        since_step = 0
+        while i < n:
+            # stack consecutive same-bucket, same-divisor-region trials,
+            # never across an optimizer-step boundary
+            group = []
+            first_len = None
+            while (
+                i < n
+                and len(group) < self.trial_batch
+                and since_step + len(group) < bs
+            ):
+                x, y = dataset[i]
+                xp, yp, mask = pad_to_bucket(x, y, self.bucket)
+                if first_len is None:
+                    first_len = xp.shape[0]
+                elif xp.shape[0] != first_len:
+                    break
+                in_ragged = ragged != 0 and i >= n - ragged
+                if group and group[0][3] != in_ragged:
+                    break
+                group.append((xp, yp, mask, in_ragged))
+                i += 1
+
+            xb = self._shard(jnp.asarray(np.stack([g[0] for g in group])))
+            yb = jnp.asarray(np.stack([g[1] for g in group]))
+            mb = jnp.asarray(np.stack([g[2] for g in group]))
+            div = jnp.asarray(
+                [float(ragged if g[3] else bs) for g in group], jnp.float32
+            )
+            rng, sub = jax.random.split(rng)
+            grads, ce, mse = self._grad_step_batched(xb.shape)(
+                params, xb, yb, mb, div, sub
+            )
+            accum = (
+                grads if accum is None else jax.tree.map(jnp.add, accum, grads)
+            )
+            ce_sum += float(ce)
+            mse_sum += float(mse)
+            since_step += len(group)
+            if log:
+                log(f"[trials ..{i - 1}]: ce = {float(ce):.4f}")
+
+            if since_step >= bs or i == n:
+                params, opt_state = self._apply_updates(accum, opt_state, params)
+                accum = None
+                since_step = 0
+
+        return params, opt_state, {
+            "ce": ce_sum,
+            "mse": mse_sum,
+            "duration": time.time() - t0,
+        }
+
     def train_epoch(self, params, opt_state, dataset, epoch: int, rng=None,
                     log: Callable[[str], None] | None = None):
         """One epoch with trial-level gradient accumulation."""
@@ -221,6 +315,8 @@ class Trainer:
         rng = rng if rng is not None else jax.random.PRNGKey(
             self.opt.seed + 1000 + epoch
         )
+        if self.trial_batch > 1 and self.kind in ("frame", "frame_ms"):
+            return self._batched_epoch(params, opt_state, dataset, rng, log)
         n = len(dataset)
         bs = self.opt.batch_size
         ragged = n % bs

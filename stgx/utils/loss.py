@@ -32,7 +32,8 @@ def class_weights(class_dist):
     return 1.0 - d / jnp.sum(d)
 
 
-def weighted_cross_entropy(logits, labels, weights, mask=None):
+def weighted_cross_entropy(logits, labels, weights, mask=None,
+                           per_sample: bool = False):
     """Torch-style weighted-mean CE over frames.
 
     Args:
@@ -40,20 +41,32 @@ def weighted_cross_entropy(logits, labels, weights, mask=None):
         labels: ``(N, L)`` int.
         weights: ``(C,)`` class weights.
         mask: optional ``(N, L)`` validity.
+        per_sample: return a ``(N,)`` vector of per-trial weighted means —
+            used when independent trials are stacked on the batch axis, so
+            each keeps the reference's per-trial normalization.
     """
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     w = weights[labels]
     if mask is not None:
         w = w * mask.astype(w.dtype)
+    if per_sample:
+        return jnp.sum(w * nll, axis=-1) / jnp.sum(w, axis=-1)
     return jnp.sum(w * nll) / jnp.sum(w)
 
 
-def smoothing_mse(outputs, mask=None):
+def smoothing_mse(outputs, mask=None, per_sample: bool = False):
     """``0.15 · mean(clamp((p_t - stopgrad(p_{t-1}))², 0, 16))`` over frames
     ``1..L-1`` (reference loss.py:33-39). ``outputs`` already adapter-domain."""
     d = outputs[:, 1:] - jax.lax.stop_gradient(outputs[:, :-1])
     sq = jnp.clip(d * d, 0.0, 16.0)
+    if per_sample:
+        if mask is None:
+            return 0.15 * jnp.mean(sq, axis=(1, 2))
+        m = (mask[:, 1:] * mask[:, :-1]).astype(sq.dtype)[..., None]
+        return 0.15 * jnp.sum(sq * m, axis=(1, 2)) / (
+            jnp.sum(m, axis=(1, 2)) * sq.shape[-1]
+        )
     if mask is None:
         return 0.15 * jnp.mean(sq)
     m = (mask[:, 1:] * mask[:, :-1]).astype(sq.dtype)[..., None]
@@ -77,19 +90,21 @@ class Loss:
         else:
             raise ValueError(f"unknown output_type: {output_type!r}")
 
-    def __call__(self, outputs, labels, mask=None):
-        ce = weighted_cross_entropy(self.to_ce(outputs), labels, self.weights, mask)
-        mse = smoothing_mse(self.to_mse(outputs), mask)
+    def __call__(self, outputs, labels, mask=None, per_sample: bool = False):
+        ce = weighted_cross_entropy(
+            self.to_ce(outputs), labels, self.weights, mask, per_sample
+        )
+        mse = smoothing_mse(self.to_mse(outputs), mask, per_sample)
         return ce, mse
 
 
 class LossMultiStage(Loss):
     """Sums CE and MSE over the leading stage axis ``(S, N, L, C)``."""
 
-    def __call__(self, outputs, labels, mask=None):
+    def __call__(self, outputs, labels, mask=None, per_sample: bool = False):
         ce_tot, mse_tot = 0.0, 0.0
         for s in range(outputs.shape[0]):
-            ce, mse = super().__call__(outputs[s], labels, mask)
+            ce, mse = super().__call__(outputs[s], labels, mask, per_sample)
             ce_tot = ce_tot + ce
             mse_tot = mse_tot + mse
         return ce_tot, mse_tot
