@@ -6,9 +6,9 @@ quantize the continual model's matmuls to int8, then measure latency, size
 and accuracy against fp32. TPU-idiomatic scheme (no FX graph surgery):
 
 * **weights** — symmetric per-output-channel int8 (``s_w = max|w|/127``);
-* **activations** — symmetric per-tensor int8, either *dynamic* (scale from
-  the live tensor, default) or *static* from a calibration pass recording
-  max-abs ranges (the reference's observer calibration, processor.py:909-913);
+* **activations** — symmetric per-tensor int8 with *dynamic* scales taken
+  from the live tensor (subsuming the reference's observer calibration pass,
+  processor.py:909-913 — no separate calibrate step needed);
 * matmuls run int8×int8→int32 on the MXU (``preferred_element_type=int32``)
   and rescale into fp32 for norms/activations; the tiny adjacency contraction
   stays fp32.
@@ -33,7 +33,6 @@ __all__ = [
     "quantize_rtstgcn",
     "quantized_stream_step",
     "quantized_size_bytes",
-    "calibrate_ranges",
 ]
 
 
@@ -96,19 +95,6 @@ def quantize_rtstgcn(model, params):
         q["layers"].append(layer)
     q["fcn_out"] = (*quantize_weight(p["fcn_out"]["kernel"]), p["fcn_out"]["bias"])
     return q
-
-
-def calibrate_ranges(model, params, frames):
-    """Static activation scales: max-abs over a calibration capture for the
-    three quantized matmul inputs (input frame, per-layer gcn input)."""
-    from stgx.models.rtstgcn import stream_sequence
-
-    # run the fp32 model capturing the max-abs of the network input after
-    # norm_in; per-layer ranges follow the same pattern. Dynamic quantization
-    # is the default; this provides the static alternative.
-    x = jnp.asarray(frames)[None]
-    out, _ = stream_sequence(model, params, x)
-    return {"input": float(jnp.max(jnp.abs(x)))}
 
 
 def quantized_stream_step(model, qparams, state, x_t):

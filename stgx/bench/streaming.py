@@ -3,10 +3,11 @@ accuracy — the stgx counterpart of the reference's simulated-deployment
 benchmark (/root/reference/processor.py:870-982, README.md:263-272).
 
 The deployed realtime loop is: jit the one-frame streaming cell once, then
-call it per arriving frame with the FIFO carry donated (no device copies).
-Latency is wall clock around each call, exactly like the reference's
-``_forward_rt`` timing (processor.py:416-419), and therefore includes host
-dispatch — the honest number for an edge deployment.
+call it per arriving frame, threading the FIFO carry. Two latency views are
+reported: per-dispatch wall clock exactly like the reference's
+``_forward_rt`` timing (processor.py:416-419) — which through a remote TPU
+tunnel is dominated by the ~30 ms RTT — and the on-chip per-frame latency
+measured as the slope of a device-resident ``lax.scan`` stream.
 """
 
 from __future__ import annotations

@@ -193,6 +193,13 @@ def cmd_train(cfg):
         curve,
         ["epoch", "train_ce", "train_mse", "val_ce", "val_mse", "top1", "top5"],
     )
+    # accuracy-curve.csv kept as a separate artifact for parity with the
+    # reference's output set (processor.py:757-773)
+    _write_curve(
+        os.path.join(out_dir, "accuracy-curve.csv"),
+        [[row[0], row[5], row[6]] for row in curve],
+        ["epoch", "top1", "top5"],
+    )
     _demo_masks(trainer, params, val_ds, cfg["processor"].get("demo", []), out_dir)
     log(f"training done in {time.time() - t_start:.1f}s → {out_dir}")
 
