@@ -91,6 +91,7 @@ def _build_all(cfg):
         receptive_field=arch.get("receptive_field", 50),
         segment=arch.get("segment"),
         trial_batch=opt.get("trial_batch", 1),
+        compute_dtype=opt.get("compute_dtype"),
     )
     return trainer, train_ds, val_ds, actions, num_classes
 

@@ -146,6 +146,7 @@ def build_model(cfg: dict, num_classes: int):
         graph=graph,
         strategy=arch.get("strategy", "spatial"),
         normalization=arch.get("normalization", "BatchNorm"),
+        remat=bool(arch.get("remat", False)),
     )
 
     if name in ("st-gcn", "co-st-gcn", "rt-st-gcn", "aa-gcn"):
@@ -174,6 +175,7 @@ def build_model(cfg: dict, num_classes: int):
             dropout=tuple(sub.get("dropout", (0.5,) * 4)),
             refine=arch.get("refine", "softmax"),
             output_type=arch.get("output_type", "logits"),
+            remat=bool(arch.get("remat", False)),
         )
 
     if name == "ms-gcn":

@@ -28,6 +28,7 @@ import numpy as np
 from flax import linen as nn
 
 from stgx.graph import Graph
+from stgx.models import _remat
 from stgx.models.stgcn import (
     StgcnLayer,
     make_norm,
@@ -139,6 +140,7 @@ class _Stream(nn.Module):
     residual: Sequence[int]
     dropout: Sequence[float]
     importance: bool
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, mask=None):
@@ -158,7 +160,7 @@ class _Stream(nn.Module):
             )
         for i in range(len(self.in_ch)):
             A = self.A * ei[i] if self.importance else self.A
-            x = AgcnLayer(
+            layer = AgcnLayer(
                 in_channels=self.in_ch[i],
                 out_channels=self.out_ch[i],
                 gamma=self.kernel,
@@ -168,7 +170,11 @@ class _Stream(nn.Module):
                 dropout=self.dropout[i],
                 residual=bool(self.residual[i]),
                 normalization=self.normalization,
-            )(x, A, train=train, mask=mask)
+            )
+            if self.remat and train:
+                x = _remat.gcn_layer(layer, x, A, mask)
+            else:
+                x = layer(x, A, train=train, mask=mask)
         x = jnp.mean(x, axis=(1, 2))
         return nn.Dense(
             self.num_classes,
@@ -193,6 +199,7 @@ class AaGcn(nn.Module):
     residual: Sequence[int] = (1, 1, 1, 1, 1, 1, 1, 1, 1)
     dropout: Sequence[float] = (0,) * 9
     importance: bool = True
+    remat: bool = False  # per-layer jax.checkpoint (training only)
 
     def setup(self):
         g = Graph(strategy=self.strategy, **self.graph)
@@ -212,6 +219,7 @@ class AaGcn(nn.Module):
             residual=self.residual,
             dropout=self.dropout,
             importance=self.importance,
+            remat=self.remat,
         )
         self.joint_stream = _Stream(**common)
         self.bone_stream = _Stream(**common)

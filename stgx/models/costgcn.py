@@ -30,6 +30,7 @@ from flax import linen as nn
 from stgx.graph import Graph
 from stgx.models.stgcn import GraphConv, make_norm, torch_bias_init, torch_conv_init
 from stgx.models.rtstgcn import _stream_norm
+from stgx.models import _remat
 from stgx.ops.graph_conv import partitioned_gcn
 from stgx.ops.temporal import temporal_conv
 
@@ -114,6 +115,7 @@ class CoStgcn(nn.Module):
     residual: Sequence[int] = (1, 1, 1, 1, 1, 1, 1, 1, 1)
     dropout: Sequence[float] = (0,) * 9
     importance: bool = True
+    remat: bool = False  # per-layer jax.checkpoint (training only)
 
     def setup(self):
         g = Graph(strategy=self.strategy, **self.graph)
@@ -159,7 +161,10 @@ class CoStgcn(nn.Module):
         x = self.fcn_in(x)
         for i, layer in enumerate(self.layers):
             A = self.A * self.edge_importance[i] if self.importance else self.A
-            x = layer(x, A, train=train, mask=mask)
+            if self.remat and train:
+                x = _remat.gcn_layer(layer, x, A, mask)
+            else:
+                x = layer(x, A, train=train, mask=mask)
         x = jnp.mean(x, axis=2)  # pool joints
         return self.fcn_out(x)
 

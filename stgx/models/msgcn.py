@@ -45,6 +45,7 @@ class MsGcn(nn.Module):
     refine_dropout: Sequence[float] = (0.5, 0.5, 0.5, 0.5)
     refine: str = "softmax"
     output_type: str = "logits"
+    remat: bool = False  # per-layer jax.checkpoint (training only)
 
     @nn.compact
     def __call__(self, windows, *, train: bool = False, mask=None):
@@ -64,6 +65,7 @@ class MsGcn(nn.Module):
             residual=self.residual,
             dropout=self.dropout,
             importance=self.importance,
+            remat=self.remat,
         )
         y = gen(windows, train=train, mask=mask)  # (T, classes), windows = time
         y = y[None]  # (1, T, classes)
@@ -75,6 +77,7 @@ class MsGcn(nn.Module):
                 num_layers=self.layers[s],
                 kernel=self.refine_kernel[s],
                 dropout=self.refine_dropout[s],
+                remat=self.remat,
             )(prob(y)[:, :, None, :], train=train)[:, :, 0, :]
             outputs.append(out(y))
         return jnp.stack(outputs)

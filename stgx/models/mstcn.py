@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from stgx.models import _remat
+
 from stgx.models.stgcn import torch_bias_init, torch_conv_init
 from stgx.ops.temporal import temporal_conv
 
@@ -73,6 +75,7 @@ class SingleStage(nn.Module):
     num_layers: int = 10
     kernel: int = 3
     dropout: float = 0.0
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -82,12 +85,16 @@ class SingleStage(nn.Module):
             bias_init=torch_bias_init(x.shape[-1]),
         )(x)
         for i in range(self.num_layers):
-            x = DilatedResidualLayer(
+            layer = DilatedResidualLayer(
                 features=self.num_filters,
                 kernel=self.kernel,
                 dilation=2**i,
                 dropout=self.dropout,
-            )(x, train=train)
+            )
+            if self.remat and train:
+                x = _remat.seq_layer(layer, x)
+            else:
+                x = layer(x, train=train)
         return nn.Dense(
             self.out_channels,
             kernel_init=torch_conv_init(self.num_filters),
@@ -107,6 +114,7 @@ class MsTcn(nn.Module):
     dropout: Sequence[float] = (0.5, 0.5, 0.5, 0.5)
     refine: str = "softmax"
     output_type: str = "logits"
+    remat: bool = False  # per-layer jax.checkpoint (training only)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, mask=None):
@@ -130,6 +138,7 @@ class MsTcn(nn.Module):
                 num_layers=self.layers[s],
                 kernel=self.kernel[s],
                 dropout=self.dropout[s],
+                remat=self.remat,
             )(prob(y)[:, :, None, :], train=train)[:, :, 0, :]
             outputs.append(out(y))
         return jnp.stack(outputs)

@@ -37,6 +37,7 @@ from flax import linen as nn
 
 from stgx.graph import Graph
 from stgx.models.stgcn import GraphConv, make_norm, torch_bias_init, torch_conv_init
+from stgx.models import _remat
 from stgx.ops.graph_conv import partitioned_gcn
 from stgx.ops.norms import batch_norm, layer_norm
 from stgx.ops.temporal import (
@@ -115,6 +116,7 @@ class RtStgcn(nn.Module):
     residual: Sequence[int] = (1, 1, 1, 1, 1, 1, 1, 1, 1)
     dropout: Sequence[float] = (0,) * 9
     importance: bool = True
+    remat: bool = False  # per-layer jax.checkpoint (training only)
 
     def setup(self):
         g = Graph(strategy=self.strategy, **self.graph)
@@ -162,7 +164,10 @@ class RtStgcn(nn.Module):
         x = self.norm_in(x, mask=mask)
         x = self.fcn_in(x)
         for i, layer in enumerate(self.layers):
-            x = layer(x, self._layer_A(i), train=train, mask=mask)
+            if self.remat and train:
+                x = _remat.gcn_layer(layer, x, self._layer_A(i), mask)
+            else:
+                x = layer(x, self._layer_A(i), train=train, mask=mask)
         x = jnp.mean(x, axis=2)  # pool joints only: (N, L, C)
         return self.fcn_out(x)
 

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from stgx.models import _remat
+
 from stgx.graph import Graph
 from stgx.models.stgcn import make_norm, torch_bias_init, torch_conv_init
 from stgx.ops.shift import spatial_shift, temporal_shift
@@ -164,6 +166,7 @@ class ShiftGcn(nn.Module):
     kernel: int = 9
     dropout: Sequence[float] = ()
     importance: bool = False
+    remat: bool = False  # per-layer jax.checkpoint (training only)
 
     def setup(self):
         g = Graph(strategy=self.strategy, **self.graph)
@@ -194,7 +197,10 @@ class ShiftGcn(nn.Module):
         x = self.data_bn(x, mask=mask)
         m = mask
         for i, unit in enumerate(self.units):
-            x = unit(x, train=train, mask=m)
+            if self.remat and train:
+                x = _remat.unit(unit, x, m)
+            else:
+                x = unit(x, train=train, mask=m)
             if self.stride[i] > 1 and m is not None:
                 m = m[:, :: self.stride[i]]
         x = jnp.mean(x, axis=(1, 2))

@@ -31,6 +31,7 @@ import numpy as np
 from flax import linen as nn
 
 from stgx.graph import Graph
+from stgx.models import _remat
 from stgx.models.stgcn import make_norm, torch_bias_init, torch_conv_init
 from stgx.models.shiftgcn import SpatialShiftBlock, shift_init
 from stgx.ops.shift import spatial_shift, temporal_shift
@@ -219,6 +220,7 @@ class ShiftGcnPlusTeacher(nn.Module):
     normalization: str = "BatchNorm"
     channels: Sequence[int] = (64, 64, 64, 64, 128, 128, 128, 256, 256, 256)
     stride: Sequence[int] = (1, 1, 1, 1, 2, 1, 1, 2, 1, 1)
+    remat: bool = False  # per-unit jax.checkpoint (training only)
 
     def setup(self):
         g = Graph(strategy=self.strategy, **self.graph)
@@ -263,7 +265,10 @@ class ShiftGcnPlusTeacher(nn.Module):
             inp = h if skips[i] is None else jnp.concatenate(
                 [h, skips[i][:, : h.shape[1]]], axis=-1
             )
-            h = unit(inp, train=train)
+            if self.remat and train:
+                h = _remat.unit(unit, inp, None)
+            else:
+                h = unit(inp, train=train)
             if extract_features and i in self.feature_taps():
                 feats.append(h)
             h = nn.relu(h)
@@ -317,6 +322,7 @@ class ShiftGcnPlusStudent(nn.Module):
     c_mul: int = 4
     # 7 units: 32×3 → 64×2(stride 2) → 128×2(stride 2) at c_mul=4
     stride: Sequence[int] = (1, 1, 1, 2, 1, 2, 1)
+    remat: bool = False  # per-unit jax.checkpoint (training only)
 
     def setup(self):
         g = Graph(strategy=self.strategy, **self.graph)
@@ -361,7 +367,10 @@ class ShiftGcnPlusStudent(nn.Module):
             inp = h if skips[i] is None else jnp.concatenate(
                 [h, skips[i][:, : h.shape[1]]], axis=-1
             )
-            h = unit(inp, epoch, train=train)
+            if self.remat and train:
+                h = _remat.unit_epoch(unit, inp, epoch, None)
+            else:
+                h = unit(inp, epoch, train=train)
             if extract_features and i in self.feature_taps():
                 feats.append(h)
             h = nn.relu(h)
@@ -423,6 +432,7 @@ class ShiftGcnPlus(nn.Module):
     strategy: str = "spatial"
     normalization: str = "BatchNorm"
     c_mul: int = 4
+    remat: bool = False  # per-unit jax.checkpoint (training only)
 
     def setup(self):
         common = dict(
@@ -433,7 +443,9 @@ class ShiftGcnPlus(nn.Module):
             normalization=self.normalization,
         )
         self.teacher = ShiftGcnPlusTeacher(**common)
-        self.student = ShiftGcnPlusStudent(c_mul=self.c_mul, **common)
+        self.student = ShiftGcnPlusStudent(
+            c_mul=self.c_mul, remat=self.remat, **common
+        )
         t_ch = (64, 128, 256)
         s_ch = tuple(8 * self.c_mul * (2**i) for i in range(3))
         g = Graph(strategy=self.strategy, **self.graph)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from stgx.graph import Graph
+from stgx.models import _remat
 from stgx.ops.graph_conv import partitioned_gcn
 from stgx.ops.norms import BatchNorm, LayerNorm
 from stgx.ops.temporal import temporal_conv
@@ -170,6 +171,7 @@ class Stgcn(nn.Module):
     residual: Sequence[int] = (1, 1, 1, 1, 1, 1, 1, 1, 1)
     dropout: Sequence[float] = (0,) * 9
     importance: bool = True
+    remat: bool = False  # per-layer jax.checkpoint (training only)
 
     def setup(self):
         g = Graph(strategy=self.strategy, **self.graph)
@@ -216,6 +218,9 @@ class Stgcn(nn.Module):
         x = self.fcn_in(x)
         for i, layer in enumerate(self.layers):
             A = self.A * self.edge_importance[i] if self.importance else self.A
-            x = layer(x, A, train=train, mask=mask)
+            if self.remat and train:
+                x = _remat.gcn_layer(layer, x, A, mask)
+            else:
+                x = layer(x, A, train=train, mask=mask)
         x = jnp.mean(x, axis=(1, 2))  # global (L, V) pool
         return self.fcn_out(x)

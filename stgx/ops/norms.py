@@ -40,13 +40,15 @@ def layer_norm(x, weight, bias, eps: float = 1e-5):
         x: ``(N, L, V, C)``.
         weight, bias: ``(V, C)`` affine parameters.
     """
+    dt = x.dtype
+    x = x.astype(jnp.float32)  # stats in fp32 under bf16 compute
     n = x.shape[-1] * x.shape[-2]
     mean = jnp.mean(x, axis=(-2, -1), keepdims=True)
     centered = x - mean
     # torch.var default is unbiased (correction=1) — keep for parity
     var = jnp.sum(centered * centered, axis=(-2, -1), keepdims=True) / (n - 1)
     x = centered / jnp.sqrt(var + eps)
-    return weight * x + bias
+    return (weight * x + bias).astype(dt)
 
 
 def batch_norm(x, weight, bias, axes, eps: float = 1e-5, mask=None):
@@ -59,6 +61,8 @@ def batch_norm(x, weight, bias, axes, eps: float = 1e-5, mask=None):
         weight, bias: affine params broadcastable over the kept dims.
         mask: optional ``(N, L)`` bool; padded frames excluded from stats.
     """
+    dt = x.dtype
+    x = x.astype(jnp.float32)  # stats in fp32 under bf16 compute
     if mask is None:
         mean = jnp.mean(x, axis=axes, keepdims=True)
         var = jnp.mean(x * x, axis=axes, keepdims=True) - mean * mean
@@ -70,7 +74,7 @@ def batch_norm(x, weight, bias, axes, eps: float = 1e-5, mask=None):
         mean = jnp.sum(x * m, axis=axes, keepdims=True) / count
         var = jnp.sum(x * x * m, axis=axes, keepdims=True) / count - mean * mean
     x = (x - mean) / jnp.sqrt(var + eps)
-    return weight * x + bias
+    return (weight * x + bias).astype(dt)
 
 
 class LayerNorm(nn.Module):

@@ -72,6 +72,11 @@ class Trainer:
     # accumulation divisor; note BatchNorm statistics then span the stack —
     # the reference's own file-mode batching behavior (processor.py:61-84)
     trial_batch: int = 1
+    # 'bfloat16' runs the model forward/backward in bf16 (params are cast at
+    # the step boundary and stay fp32 in the optimizer; norm statistics and
+    # the loss compute in fp32 — see stgx/ops/norms.py). Halves activation
+    # HBM traffic on TPU; gradients come back fp32 through the cast's VJP.
+    compute_dtype: str | None = None
     _jit_cache: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -109,6 +114,17 @@ class Trainer:
         return opt_state
 
     # -- per-trial forward/grad steps (jitted per bucketed shape) -------------
+
+    def _cast_compute(self, tree):
+        if self.compute_dtype is None:
+            return tree
+        dt = jnp.dtype(self.compute_dtype)
+        return jax.tree.map(
+            lambda a: a.astype(dt)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a,
+            tree,
+        )
 
     def _shard(self, x):
         if self.mesh is None:
@@ -150,10 +166,12 @@ class Trainer:
         def step(params, x, y, mask, divisors, rng):
             def loss_fn(p):
                 out = self.model.apply(
-                    p, x, train=True, mask=mask, rngs={"dropout": rng}
+                    self._cast_compute(p), self._cast_compute(x),
+                    train=True, mask=mask, rngs={"dropout": rng}
                 )
                 if isinstance(out, tuple):
                     out = out[0]
+                out = out.astype(jnp.float32)
                 ce_v, mse_v = self.loss(out, y, mask, per_sample=True)
                 scaled = jnp.sum((ce_v + mse_v) / divisors)
                 return scaled, (jnp.sum(ce_v), jnp.sum(mse_v))
@@ -174,7 +192,11 @@ class Trainer:
         def step(params, x, y, mask, divisor, rng):
             def loss_fn(p):
                 rngs = {"dropout": rng}
-                out, aux = self._frame_outputs(p, x, mask, train=True, rngs=rngs)
+                out, aux = self._frame_outputs(
+                    self._cast_compute(p), self._cast_compute(x), mask,
+                    train=True, rngs=rngs,
+                )
+                out = out.astype(jnp.float32)
                 lmask = mask[None] if self.kind.startswith("window") else mask
                 ly = y[None] if self.kind.startswith("window") else y
                 ce, mse = self.loss(out, ly, lmask)
@@ -194,7 +216,11 @@ class Trainer:
             return self._jit_cache[("eval", shape_key)]
 
         def step(params, x, y, mask):
-            out, _ = self._frame_outputs(params, x, mask, train=False)
+            out, _ = self._frame_outputs(
+                self._cast_compute(params), self._cast_compute(x), mask,
+                train=False,
+            )
+            out = out.astype(jnp.float32)
             lmask = mask[None] if self.kind.startswith("window") else mask
             ly = y[None] if self.kind.startswith("window") else y
             ce, mse = self.loss(out, ly, lmask)
