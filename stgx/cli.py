@@ -64,6 +64,15 @@ def _build_all(cfg):
     num_classes = len(actions)
     class_dist = class_distribution(train_ds, num_classes)
 
+    # overlap host trial loading with device steps (processor.py:61-84's
+    # DataLoader workers, thread-pool form)
+    from stgx.data import PrefetchedDataset
+
+    prefetch = proc.get("prefetch", 4)
+    if prefetch:
+        train_ds = PrefetchedDataset(train_ds, ahead=prefetch)
+        val_ds = PrefetchedDataset(val_ds, ahead=prefetch)
+
     model = build_model(cfg, num_classes)
     name = proc["model"]
     loss = LOSS[name](class_dist, arch.get("output_type", "logits"))

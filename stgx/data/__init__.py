@@ -6,3 +6,4 @@ from stgx.data.dataset import (  # noqa: F401
     class_distribution,
     load_actions,
 )
+from stgx.data.prefetch import PrefetchedDataset  # noqa: F401
