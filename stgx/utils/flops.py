@@ -7,7 +7,12 @@ continual models; per-window for the window classifiers.
 
 from __future__ import annotations
 
-__all__ = ["rt_stgcn_macs_per_frame", "stgcn_macs_per_window", "param_words"]
+__all__ = [
+    "rt_stgcn_macs_per_frame",
+    "costgcn_macs_per_frame",
+    "stgcn_macs_per_window",
+    "param_words",
+]
 
 
 def rt_stgcn_macs_per_frame(
@@ -28,6 +33,33 @@ def rt_stgcn_macs_per_frame(
         if res and cin != cout:
             macs += v * cin * cout  # residual 1×1
     macs += out_ch[-1] * num_classes  # fcn_out (after joint pool)
+    return macs
+
+
+def costgcn_macs_per_frame(
+    num_joints: int = 25,
+    partitions: int = 3,
+    in_feat: int = 3,
+    num_classes: int = 52,
+    kernel: int = 9,
+    in_ch=(64, 64, 64, 64, 128, 128, 128, 256, 256),
+    out_ch=(64, 64, 64, 128, 128, 128, 256, 256, 256),
+    residual=(1,) * 9,
+) -> int:
+    """MACs to advance the continual CoST-GCN by one frame: RT-ST-GCN's
+    per-frame cost plus a full Γ-tap temporal conv over each layer's FIFO
+    (the Γ-fold difference behind the reference's 78.6 M vs 20.1 M table,
+    /root/reference/README.md:269-271; dilation stretches the FIFO but not
+    the MAC count)."""
+    v, p = num_joints, partitions
+    macs = v * in_feat * in_ch[0]  # fcn_in
+    for cin, cout, res in zip(in_ch, out_ch, residual):
+        macs += v * cin * cout * p  # partition-wise 1×1 conv
+        macs += p * v * v * cout  # adjacency aggregation
+        macs += v * cout * cout * kernel  # Γ-tap temporal conv per frame
+        if res and cin != cout:
+            macs += v * cin * cout  # residual 1×1
+    macs += out_ch[-1] * num_classes  # per-frame head
     return macs
 
 
