@@ -36,6 +36,10 @@ def _build_all(cfg):
     from stgx.utils import LOSS
 
     proc, arch, opt, job = cfg["processor"], cfg["arch"], cfg["optimizer"], cfg["job"]
+    if arch.get("gcn_impl"):
+        from stgx.ops.graph_conv import set_gcn_impl
+
+        set_gcn_impl(arch["gcn_impl"])
     data_dir = proc["data"]
     if proc.get("dataset_type", "dir") == "file":
         # single mmap'd file per split: {data}/{split}_data.npy +

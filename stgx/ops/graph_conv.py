@@ -21,9 +21,30 @@ by dense contraction — a sparse gather kernel would waste the MXU.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
-__all__ = ["gcn_aggregate", "partitioned_gcn"]
+__all__ = ["gcn_aggregate", "partitioned_gcn", "set_gcn_impl", "get_gcn_impl"]
+
+# Which implementation `partitioned_gcn` dispatches to: "einsum" (XLA, the
+# default) or "pallas" (fused VMEM kernel, stgx/ops/pallas_gcn.py). Read at
+# TRACE time — switching after a jit cache is warm requires retracing (the
+# Trainer keys its jit cache by shape only, so set this before training).
+_IMPL = os.environ.get("STGX_GCN_IMPL", "einsum")
+
+
+def set_gcn_impl(name: str) -> None:
+    """Select the graph-conv backend ("einsum" | "pallas"); also settable
+    via the STGX_GCN_IMPL env var or the `arch.gcn_impl` config key."""
+    global _IMPL
+    if name not in ("einsum", "pallas"):
+        raise ValueError(f"unknown gcn impl: {name!r}")
+    _IMPL = name
+
+
+def get_gcn_impl() -> str:
+    return _IMPL
 
 
 def gcn_aggregate(x, A):
@@ -59,6 +80,10 @@ def partitioned_gcn(x, A, W, b=None):
     Returns:
         ``(N, L, V, C_out)``.
     """
+    if _IMPL == "pallas":
+        from stgx.ops.pallas_gcn import partitioned_gcn_pallas
+
+        return partitioned_gcn_pallas(x, A, W, b)
     agg = gcn_aggregate(x, A)
     # one MXU matmul over the stacked (P, C_in) contraction dim
     y = jnp.einsum("nlpwc,pcd->nlwd", agg, W, preferred_element_type=jnp.float32)

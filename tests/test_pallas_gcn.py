@@ -89,3 +89,23 @@ def test_jit_and_vmap_compose():
     ref = graph_conv.partitioned_gcn(x, A, W)
     np.testing.assert_allclose(np.asarray(f(x)), np.asarray(ref),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_impl_switch_dispatches_to_pallas(monkeypatch):
+    """partitioned_gcn routes through the fused kernel when selected."""
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(pallas_gcn, "_INTERPRET", True)
+    rng = np.random.default_rng(4)
+    x = _rand(rng, 2, 17, 7, 8)
+    A = _rand(rng, 2, 7, 7)
+    W = _rand(rng, 2, 8, 8)
+    ref = graph_conv.partitioned_gcn(x, A, W)
+    graph_conv.set_gcn_impl("pallas")
+    try:
+        assert graph_conv.get_gcn_impl() == "pallas"
+        got = graph_conv.partitioned_gcn(x, A, W)
+    finally:
+        graph_conv.set_gcn_impl("einsum")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
