@@ -87,27 +87,38 @@ def causal_accumulate(x, kernel_size: int, stride: int):
     as the input — the RT model never downsamples time; ``stride`` only
     widens the tap spacing (reference rtstgcn.py:368-379).
 
-    Implemented as a cumulative-sum difference per stride phase:
-    ``y[t] = cs[t] - cs[t - K·s]`` where ``cs`` accumulates frames of the same
-    ``t mod s`` phase. This is O(log L) VPU passes independent of Γ — a
-    1-channel "conv of ones" would be MXU-hostile, and an L×L Toeplitz matmul
-    (the reference's construction) wastes O(L²) work.
+    Implemented as a causal width-K sliding window-sum (``lax.reduce_window``
+    with left padding), per stride phase when ``stride > 1``. K is small
+    (Γ/s ≤ 9 here) so this is O(K) VPU adds per element. A cumsum-difference
+    formulation looks cheaper on paper but XLA lowers ``cumsum`` itself to a
+    full-length reduce-window — O(L) per element — which profiling showed
+    eating half the train step; an L×L Toeplitz matmul (the reference's
+    construction, rtstgcn.py:368-379) similarly wastes O(L²) work.
     """
     k = kernel_size // stride
     n, l, v, c = x.shape
     if k <= 1:
         return x
+
+    def window_sum(t, time_axis):
+        dims = [1] * t.ndim
+        strides = [1] * t.ndim
+        pad = [(0, 0)] * t.ndim
+        dims[time_axis] = k
+        pad[time_axis] = (k - 1, 0)  # causal: frames before start are zero
+        return lax.reduce_window(
+            t.astype(jnp.float32), 0.0, lax.add,
+            window_dimensions=dims, window_strides=strides, padding=pad,
+        )
+
     if stride == 1:
-        cs = jnp.cumsum(x, axis=1, dtype=jnp.float32)
-        y = cs - jnp.pad(cs, ((0, 0), (k, 0), (0, 0), (0, 0)))[:, :l]
-        return y.astype(x.dtype)
+        return window_sum(x, 1).astype(x.dtype)
     # phase decomposition: pad L to a stride multiple, reshape to
-    # (phase-major) (n, l', s, v, c), cumsum over the per-phase time axis
+    # (phase-major) (n, l', s, v, c), window-sum over the per-phase time axis
     lp = -(-l // stride) * stride
     xp = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0), (0, 0)))
     xp = xp.reshape(n, lp // stride, stride, v, c)
-    cs = jnp.cumsum(xp, axis=1, dtype=jnp.float32)
-    y = cs - jnp.pad(cs, ((0, 0), (k, 0), (0, 0), (0, 0), (0, 0)))[:, : lp // stride]
+    y = window_sum(xp, 1)
     return y.reshape(n, lp, v, c)[:, :l].astype(x.dtype)
 
 

@@ -102,7 +102,7 @@ def sp_temporal_conv(mesh, x, W, b=None, stride: int = 1, dilation: int = 1,
 
 def sp_causal_accumulate(mesh, x, kernel_size: int, stride: int):
     """Sequence-parallel RT accumulation: halo of ``(K-1)·s`` past frames,
-    then the local cumsum-difference accumulate."""
+    then the local sliding-window accumulate."""
     k = kernel_size // stride
     left = (k - 1) * stride
 
