@@ -100,14 +100,21 @@ def causal_accumulate(x, kernel_size: int, stride: int):
     if k <= 1:
         return x
 
+    # fp32 accumulation under fp32 compute (pins the FIFO ≡ batch equivalence
+    # tests bit-exactly); under bf16 compute stay in bf16 — K ≤ 9 terms, and
+    # the fp32 round-trip would double this op's HBM traffic
+    acc_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+
     def window_sum(t, time_axis):
         dims = [1] * t.ndim
         strides = [1] * t.ndim
         pad = [(0, 0)] * t.ndim
         dims[time_axis] = k
         pad[time_axis] = (k - 1, 0)  # causal: frames before start are zero
+        # NB: init must be a weak-typed Python scalar — a traced/concrete
+        # array init breaks reduce_window's reverse-mode autodiff rule
         return lax.reduce_window(
-            t.astype(jnp.float32), 0.0, lax.add,
+            t.astype(acc_dtype), 0.0, lax.add,
             window_dimensions=dims, window_strides=strides, padding=pad,
         )
 
