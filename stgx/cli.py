@@ -83,10 +83,16 @@ def _build_all(cfg):
 
     mesh_conf = job.get("mesh") or {}
     mesh = None
-    if (mesh_conf.get("data") or 0) * max(mesh_conf.get("seq") or 1, 1) > 1 or (
-        mesh_conf.get("seq") or 1
-    ) > 1:
-        mesh = make_mesh(data=mesh_conf.get("data"), seq=mesh_conf.get("seq", 1))
+    if (
+        (mesh_conf.get("data") or 0) > 1
+        or (mesh_conf.get("seq") or 1) > 1
+        or (mesh_conf.get("model") or 1) > 1
+    ):
+        mesh = make_mesh(
+            data=mesh_conf.get("data"),
+            seq=mesh_conf.get("seq", 1),
+            model=mesh_conf.get("model", 1),
+        )
 
     trainer = Trainer(
         model=model,

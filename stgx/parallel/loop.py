@@ -96,11 +96,16 @@ class Trainer:
         rng = rng if rng is not None else jax.random.PRNGKey(self.opt.seed)
         x = jnp.asarray(sample_x)
         params = self.model.init(rng, x)
-        opt_state = self.tx.init(params)
         if self.mesh is not None:
-            spec = NamedSharding(self.mesh, P())
-            params = jax.device_put(params, spec)
-            opt_state = jax.device_put(opt_state, spec)
+            if self.mesh.shape.get("model", 1) > 1:
+                # tensor parallelism: output channels sharded over `model`;
+                # the optimizer state below inherits the layout via zeros_like
+                from stgx.parallel.tp import shard_params_tp
+
+                params = shard_params_tp(params, self.mesh)
+            else:
+                params = jax.device_put(params, NamedSharding(self.mesh, P()))
+        opt_state = self.tx.init(params)
         return params, opt_state
 
     def _apply(self, grads, opt_state, params):
