@@ -11,6 +11,11 @@ MS-GCN refinement.
 
 from stgx.parallel.mesh import make_mesh  # noqa: F401
 from stgx.parallel.tp import param_specs_tp, shard_params_tp  # noqa: F401
+from stgx.parallel.ep import (  # noqa: F401
+    param_specs_ep,
+    shard_params_ep,
+    shard_params_tp_ep,
+)
 from stgx.parallel.pipeline import (  # noqa: F401
     pipeline_apply,
     mstcn_apply_pipelined,
