@@ -111,6 +111,7 @@ def _build_all(cfg):
         segment=arch.get("segment"),
         trial_batch=opt.get("trial_batch", 1),
         compute_dtype=opt.get("compute_dtype"),
+        pipeline=bool(arch.get("pipeline")),
     )
     return trainer, train_ds, val_ds, actions, num_classes
 

@@ -77,9 +77,26 @@ class Trainer:
     # the loss compute in fp32 — see stgx/ops/norms.py). Halves activation
     # HBM traffic on TPU; gradients come back fp32 through the cast's VJP.
     compute_dtype: str | None = None
+    # stage-per-device pipelining of MS-TCN refinement over the mesh's
+    # `model` axis (stgx/parallel/pipeline.py). Requires kind='frame_ms',
+    # a mesh whose `model` axis equals stages-1, and zero refinement
+    # dropout (the pipelined schedule carries no per-stage rng).
+    pipeline: bool = False
     _jit_cache: dict = field(default_factory=dict)
 
     def __post_init__(self):
+        if self.pipeline:
+            if self.kind != "frame_ms":
+                raise ValueError("pipeline=True needs an ms-tcn-kind model")
+            if self.mesh is None or self.mesh.shape.get("model", 1) < 2:
+                raise ValueError(
+                    "pipeline=True needs a mesh with a `model` axis sized "
+                    "to the refinement-stage count"
+                )
+            if any(d != 0.0 for d in self.model.dropout[1:]):
+                raise ValueError(
+                    "pipelined refinement needs zero refinement dropout"
+                )
         self.tx = optax.inject_hyperparams(optax.adam)(
             learning_rate=self.opt.learning_rate
         )
@@ -148,7 +165,16 @@ class Trainer:
         logits (the shift-gcn++ distillation wrapper); zero otherwise.
         """
         if self.kind in ("frame", "frame_ms"):
-            out = self.model.apply(params, x, train=train, mask=mask, rngs=rngs)
+            if self.pipeline:
+                from stgx.parallel.pipeline import mstcn_apply_pipelined
+
+                # dropout is 0 (enforced in __post_init__), so the
+                # pipelined forward equals the train forward exactly
+                out = mstcn_apply_pipelined(self.model, params, x, self.mesh)
+            else:
+                out = self.model.apply(
+                    params, x, train=train, mask=mask, rngs=rngs
+                )
         else:
             # window models: x is already a window tensor (B, W, V, C) whose
             # batch dim is time; predictions form the series (1, B, C).
@@ -170,12 +196,10 @@ class Trainer:
 
         def step(params, x, y, mask, divisors, rng):
             def loss_fn(p):
-                out = self.model.apply(
-                    self._cast_compute(p), self._cast_compute(x),
-                    train=True, mask=mask, rngs={"dropout": rng}
+                out, _ = self._frame_outputs(
+                    self._cast_compute(p), self._cast_compute(x), mask,
+                    train=True, rngs={"dropout": rng},
                 )
-                if isinstance(out, tuple):
-                    out = out[0]
                 out = out.astype(jnp.float32)
                 ce_v, mse_v = self.loss(out, y, mask, per_sample=True)
                 scaled = jnp.sum((ce_v + mse_v) / divisors)

@@ -129,3 +129,74 @@ def test_stack_stage_params():
     np.testing.assert_allclose(
         np.asarray(stacked["w"]), [[1.0, 1.0], [2.0, 2.0]]
     )
+
+
+def test_trainer_pipelined_epoch_matches_sequential(devices):
+    """A Trainer with pipeline=True trains MS-TCN to the same params and
+    eval numbers as the plain sequential Trainer."""
+    from stgx.parallel.loop import OptimizerConfig, Trainer
+    from stgx.utils import LOSS
+
+    arch = dict(
+        num_classes=5, in_feat=6, stages=5,
+        filters=(8,) * 5, layers=(2,) * 5, kernel=(3,) * 5,
+        dropout=(0.0,) * 5,
+    )
+    rng = np.random.default_rng(3)
+    trials = [
+        (
+            rng.normal(size=(64, 7, 6)).astype(np.float32),
+            rng.integers(0, 5, size=(64,)).astype(np.int64),
+        )
+        for _ in range(4)
+    ]
+    loss = LOSS["ms-tcn"](np.ones(5, np.float32))
+    opt = OptimizerConfig(learning_rate=1e-3, batch_size=2, epochs=1)
+
+    def run(pipeline, mesh):
+        model = MODELS["ms-tcn"](**arch)
+        tr = Trainer(
+            model=model, kind="frame_ms", loss=loss, opt=opt,
+            mesh=mesh, bucket=64, pipeline=pipeline,
+        )
+        params, opt_state = tr.init(trials[0][0][None])
+        params, _, stats = tr.train_epoch(params, opt_state, trials, 0)
+        ev = tr.evaluate(params, trials)
+        return params, stats, ev
+
+    p_seq, s_seq, e_seq = run(False, None)
+    mesh = make_mesh(data=1, seq=2, model=4)  # 4 refinement stages
+    p_pp, s_pp, e_pp = run(True, mesh)
+
+    np.testing.assert_allclose(s_pp["ce"], s_seq["ce"], rtol=1e-4)
+    np.testing.assert_allclose(e_pp["top1"], e_seq["top1"], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_pp), jax.tree.leaves(p_seq)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3
+        )
+
+
+def test_trainer_pipeline_validation(devices):
+    from stgx.parallel.loop import OptimizerConfig, Trainer
+    from stgx.utils import LOSS
+
+    model = MODELS["ms-tcn"](**MSTCN_ARCH)
+    loss = LOSS["ms-tcn"](np.ones(5, np.float32))
+    opt = OptimizerConfig()
+    mesh = make_mesh(data=1, seq=2, model=4)
+    # wrong kind
+    try:
+        Trainer(model=model, kind="frame", loss=loss, opt=opt,
+                mesh=mesh, pipeline=True)
+    except ValueError as e:
+        assert "ms-tcn" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+    # no mesh
+    try:
+        Trainer(model=model, kind="frame_ms", loss=loss, opt=opt,
+                pipeline=True)
+    except ValueError as e:
+        assert "model" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
