@@ -108,3 +108,42 @@ def permute_dir(data_dir: str, perm=(3, 0, 2, 1)):
         path = os.path.join(data_dir, f)
         data = np.transpose(np.load(path).astype(np.float32), perm)
         np.save(path, np.ascontiguousarray(data))
+
+
+def main(argv=None):
+    """``python -m stgx.data.prep {pku-mmd,fog-it,permute} ...`` — the
+    script-style entry the reference's data_prep/prep.py is used as."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="stgx.data.prep")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pk = sub.add_parser("pku-mmd", help="raw PKU-MMD txt → per-trial npy/csv")
+    pk.add_argument("raw_dir")
+    pk.add_argument("out_dir")
+    pk.add_argument("--split", default="cross-view",
+                    choices=("cross-view", "cross-subject"))
+
+    fg = sub.add_parser("fog-it", help="FOG-IT IMU npy → per-trial npy/csv")
+    fg.add_argument("raw_dir")
+    fg.add_argument("out_dir")
+    fg.add_argument("--seed", type=int, default=0)
+    fg.add_argument("--val-fraction", type=float, default=0.3)
+
+    pm = sub.add_parser("permute", help="in-place axis relayout of a dir")
+    pm.add_argument("data_dir")
+    pm.add_argument("--perm", type=int, nargs=4, default=(3, 0, 2, 1))
+
+    a = p.parse_args(argv)
+    if a.cmd == "pku-mmd":
+        prep_pkummd(a.raw_dir, a.out_dir, split=a.split)
+    elif a.cmd == "fog-it":
+        prep_imu_fogit(a.raw_dir, a.out_dir, seed=a.seed,
+                       val_fraction=a.val_fraction)
+    else:
+        permute_dir(a.data_dir, perm=tuple(a.perm))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
