@@ -109,3 +109,28 @@ def test_impl_switch_dispatches_to_pallas(monkeypatch):
         graph_conv.set_gcn_impl("einsum")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_vjp_fused_grads_kernel(monkeypatch):
+    """The fully-fused (gA, gW) reduction kernel (STGX_GCN_BWD=pallas)
+    matches the einsum gradients too."""
+    monkeypatch.setattr(pallas_gcn, "_BWD_IMPL", "pallas")
+    rng = np.random.default_rng(4)
+    x = _rand(rng, 2, 29, 25, 16)
+    A = _rand(rng, 3, 25, 25)
+    W = _rand(rng, 3, 16, 24)
+    probe = _rand(rng, 2, 29, 25, 24)
+
+    def loss_ref(x, A, W):
+        return jnp.sum(graph_conv.partitioned_gcn(x, A, W) * probe)
+
+    def loss_pl(x, A, W):
+        return jnp.sum(pallas_gcn.partitioned_gcn_pallas(x, A, W) * probe)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, A, W)
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(x, A, W)
+    # per-tile fp32 accumulation reorders the Σ over rows vs the einsum
+    for gr, gp, name in zip(g_ref, g_pl, "xAW"):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gr), rtol=1e-3, atol=1e-3,
+            err_msg=f"grad wrt {name}")
