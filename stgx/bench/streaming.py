@@ -179,12 +179,17 @@ def run_streaming_benchmark(cfg) -> int:
 
     x, y = val[0]
     params = model.init(jax.random.PRNGKey(0), np.asarray(x[None]))
-    ckpt = proc.get("checkpoint") or latest_epoch(out_dir)
-    if ckpt and os.path.isdir(ckpt):
-        try:
-            params = restore_params(ckpt, params)
-        except Exception as e:  # benchmark still runs with random weights
-            print(f"checkpoint load failed ({e}); benchmarking random init")
+    if proc.get("torch_checkpoint"):
+        from stgx.cli import maybe_import_torch_checkpoint
+
+        params = maybe_import_torch_checkpoint(cfg, model, params)
+    else:
+        ckpt = proc.get("checkpoint") or latest_epoch(out_dir)
+        if ckpt and os.path.isdir(ckpt):
+            try:
+                params = restore_params(ckpt, params)
+            except Exception as e:  # benchmark still runs with random weights
+                print(f"checkpoint load failed ({e}); benchmarking random init")
 
     n_frames = min(len(x), 256)
     mean_ms, p50_ms, p99_ms, logits = measure_stream_latency(

@@ -116,6 +116,23 @@ def _build_all(cfg):
     return trainer, train_ds, val_ds, actions, num_classes
 
 
+def maybe_import_torch_checkpoint(cfg, model, params, log=print):
+    """``processor.torch_checkpoint``: initialize from a reference-trained
+    PyTorch checkpoint (stgx/utils/torch_import.py) — the no-retrain
+    migration path. Returns params unchanged when the key is unset."""
+    path = cfg["processor"].get("torch_checkpoint")
+    if not path:
+        return params
+    import torch
+
+    from stgx.utils.torch_import import import_reference_state_dict
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    params = import_reference_state_dict(sd, model, cfg["processor"]["model"])
+    log(f"imported reference torch checkpoint {path}")
+    return params
+
+
 def _metrics(cfg, num_classes):
     from stgx.utils.metrics import ConfusionMatrix, EditScore, F1Score
 
@@ -168,6 +185,7 @@ def cmd_train(cfg):
         )
     )
     params, opt_state = trainer.init(sample)
+    params = maybe_import_torch_checkpoint(cfg, trainer.model, params, log)
     start_epoch = 0
     if cfg["processor"].get("checkpoint"):
         start_epoch, params, opt_state = restore_checkpoint(
@@ -254,10 +272,13 @@ def cmd_test(cfg):
         )
     )
     params, opt_state = trainer.init(sample)
-    ckpt = cfg["processor"].get("checkpoint") or latest_epoch(out_dir)
-    if ckpt:
-        _, params, opt_state = restore_checkpoint(ckpt, params, opt_state)
-        log(f"loaded checkpoint {ckpt}")
+    if cfg["processor"].get("torch_checkpoint"):
+        params = maybe_import_torch_checkpoint(cfg, trainer.model, params, log)
+    else:
+        ckpt = cfg["processor"].get("checkpoint") or latest_epoch(out_dir)
+        if ckpt:
+            _, params, opt_state = restore_checkpoint(ckpt, params, opt_state)
+            log(f"loaded checkpoint {ckpt}")
 
     metrics = _metrics(cfg, ncls)
     ev = trainer.evaluate(params, val_ds, metrics=metrics, log=None)
