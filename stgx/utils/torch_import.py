@@ -7,8 +7,11 @@ so trained reference models migrate without retraining (see MIGRATION.md).
 Supported families: ``st-gcn`` (reference models/stgcn/stgcn.py:30-101),
 ``rt-st-gcn`` (models/rtstgcn/rtstgcn.py:84-157 — weights import into the
 stgx batch form, whose streaming cell shares the same parameters, so the
-imported checkpoint streams directly), ``ms-tcn``
-(models/mstcn/mstcn.py:10-45).
+imported checkpoint streams directly), ``co-st-gcn`` (same naming scheme,
+models/costgcn/costgcn.py:47-84), ``ms-tcn`` (models/mstcn/mstcn.py:10-45),
+``ms-gcn`` (two-part checkpoint, processor.py:333-342), and ``aa-gcn``
+(models/aagcn/aagcn.py:28-95). That is every registered reference family;
+shift-gcn/++ ship disabled upstream so no reference checkpoints exist.
 
 Everything is pure numpy over an already-loaded state dict — pass
 ``torch.load(path, map_location='cpu')['model_state_dict']`` (or the whole
@@ -99,58 +102,85 @@ def _norm_name(kind: str, idx: int) -> str:
     return f"{kind}_{idx}"
 
 
-def _import_stgcn_family(sd: dict, model) -> dict:
-    """Shared st-gcn / rt-st-gcn importer. ``model`` is the stgx module
-    (provides normalization kind, layer plan, graph size)."""
+def _import_layer(sd, base, kind, V, out_ch, res_conv, rt=False):
+    """One StgcnLayer/OfflineLayer parameter subtree at prefix ``base``."""
+    conv_key = f"{base}.conv" if rt else f"{base}.gcn.conv"
+    pd = _np(sd[f"{conv_key}.weight"]).shape[0]
+    lp = {"GraphConv_0": _graph_conv(sd, conv_key, pd // out_ch)}
+    idx = 0
+    if res_conv:
+        rw = _np(sd[f"{base}.residual.0.weight"])[:, :, 0, 0]
+        lp["res_kernel"] = rw.T
+        if f"{base}.residual.0.bias" in sd:  # st-gcn yes, rt-st-gcn no
+            lp["res_bias"] = _np(sd[f"{base}.residual.0.bias"])
+        lp[_norm_name(kind, idx)] = _norm(sd, f"{base}.residual.1", kind, V)
+        idx += 1
+    if rt:
+        lp[_norm_name(kind, idx)] = _norm(sd, f"{base}.bn_relu.0", kind, V)
+    else:
+        lp[_norm_name(kind, idx)] = _norm(sd, f"{base}.tcn.0", kind, V)
+        tw, tb = _tconv(sd, f"{base}.tcn.2")
+        lp["tcn_kernel"], lp["tcn_bias"] = tw, tb
+        lp[_norm_name(kind, idx + 1)] = _norm(sd, f"{base}.tcn.3", kind, V)
+    return lp
+
+
+def _is_res_conv(model, i):
+    stride = getattr(model, "stride", None)  # co-st-gcn has dilation instead
+    return bool(model.residual[i]) and not (
+        model.in_ch[i] == model.out_ch[i]
+        and (stride is None or stride[i] == 1)
+    )
+
+
+def _import_stgcn_body(sd, model, prefix=""):
+    """The shared st-gcn body (norm_in / fcn_in / layers / fcn_out /
+    edge importance) at an optional key prefix inside ``sd``."""
     rt = model.__class__.__name__ == "RtStgcn"
     layer_key = "st_gcn" if rt else "gcn_networks"
     kind = model.normalization
     V = model.graph["num_node"]
 
-    p = {
-        "norm_in": _norm(sd, "norm_in", kind, V, per_joint_bn=True),
-        "fcn_in": _conv1x1(sd, "fcn_in"),
-        "fcn_out": _conv1x1(sd, "fcn_out"),
+    p = {  # co-st-gcn shares the full st-gcn naming (costgcn.py:47-84)
+        "norm_in": _norm(sd, f"{prefix}norm_in", kind, V, per_joint_bn=True),
+        "fcn_in": _conv1x1(sd, f"{prefix}fcn_in"),
+        "fcn_out": _conv1x1(sd, f"{prefix}fcn_out"),
     }
-
-    n_layers = len(model.in_ch)
     imp = []
-    for i in range(n_layers):
-        base = f"{layer_key}.{i}"
-        conv_key = f"{base}.conv" if rt else f"{base}.gcn.conv"
-        pd = _np(sd[f"{conv_key}.weight"]).shape[0]
-        partitions = pd // model.out_ch[i]
-        lp = {"GraphConv_0": _graph_conv(sd, conv_key, partitions)}
-
-        res_conv = bool(model.residual[i]) and not (
-            model.in_ch[i] == model.out_ch[i] and model.stride[i] == 1
+    for i in range(len(model.in_ch)):
+        base = f"{prefix}{layer_key}.{i}"
+        p[f"layers_{i}"] = _import_layer(
+            sd, base, kind, V, model.out_ch[i], _is_res_conv(model, i), rt
         )
-        idx = 0
-        if res_conv:
-            rw = _np(sd[f"{base}.residual.0.weight"])[:, :, 0, 0]
-            lp["res_kernel"] = rw.T
-            if f"{base}.residual.0.bias" in sd:  # st-gcn yes, rt-st-gcn no
-                lp["res_bias"] = _np(sd[f"{base}.residual.0.bias"])
-            lp[_norm_name(kind, idx)] = _norm(sd, f"{base}.residual.1",
-                                              kind, V)
-            idx += 1
-        if rt:
-            lp[_norm_name(kind, idx)] = _norm(sd, f"{base}.bn_relu.0",
-                                              kind, V)
-        else:
-            lp[_norm_name(kind, idx)] = _norm(sd, f"{base}.tcn.0", kind, V)
-            tw, tb = _tconv(sd, f"{base}.tcn.2")
-            lp["tcn_kernel"], lp["tcn_bias"] = tw, tb
-            lp[_norm_name(kind, idx + 1)] = _norm(sd, f"{base}.tcn.3",
-                                                  kind, V)
-        p[f"layers_{i}"] = lp
-
-        imp_key = f"{base}.edge_importance" if rt else f"edge_importance.{i}"
+        imp_key = (f"{base}.edge_importance" if rt
+                   else f"{prefix}edge_importance.{i}")
         if imp_key in sd:
             imp.append(_np(sd[imp_key]))
     if imp:
         p["edge_importance"] = np.stack(imp)
-    return {"params": p}
+    return p
+
+
+def _import_stgcn_family(sd: dict, model) -> dict:
+    """st-gcn / rt-st-gcn importer. ``model`` is the stgx module (provides
+    normalization kind, layer plan, graph size)."""
+    return {"params": _import_stgcn_body(sd, model)}
+
+
+def _import_single_stage(sd, base, num_layers):
+    sp = {
+        "Dense_0": _conv1x1(sd, f"{base}.conv_in"),
+        "Dense_1": _conv1x1(sd, f"{base}.conv_out"),
+    }
+    for j in range(num_layers):
+        lb = f"{base}.layers.{j}.conv"
+        cw, cb = _tconv(sd, f"{lb}.0")
+        sp[f"DilatedResidualLayer_{j}"] = {
+            "conv_kernel": cw,
+            "conv_bias": cb,
+            "Dense_0": _conv1x1(sd, f"{lb}.2"),
+        }
+    return sp
 
 
 def _import_mstcn(sd: dict, model) -> dict:
@@ -158,26 +188,76 @@ def _import_mstcn(sd: dict, model) -> dict:
     for s in range(model.stages):
         base = ("generator_stage" if s == 0
                 else f"refinement_stages.{s - 1}")
+        p[f"SingleStage_{s}"] = _import_single_stage(sd, base,
+                                                     model.layers[s])
+    return {"params": p}
+
+
+def _import_msgcn(sd: dict, model) -> dict:
+    """MS-GCN's two-part checkpoint: ``model_state_dict`` holds separate
+    ``generator_stage`` (an st-gcn dict, possibly DP-wrapped) and
+    ``refinement_stages`` dicts (reference processor.py:333-342)."""
+    if "generator_stage" in sd:  # the checkpoint's two-part dict form
+        gen_sd = _unwrap(dict(sd["generator_stage"]))
+        ref_sd = {f"refinement_stages.{k}": v
+                  for k, v in dict(sd["refinement_stages"]).items()}
+    else:  # flat single-dict form (whole-model state_dict)
+        gen_sd = {k[len("generator_stage."):]: v for k, v in sd.items()
+                  if k.startswith("generator_stage.")}
+        ref_sd = {k: v for k, v in sd.items()
+                  if k.startswith("refinement_stages.")}
+
+    p = {"Stgcn_0": _import_stgcn_body(gen_sd, model)}
+    for s in range(model.stages):
+        p[f"SingleStage_{s}"] = _import_single_stage(
+            ref_sd, f"refinement_stages.{s}", model.layers[s]
+        )
+    return {"params": p}
+
+
+def _import_aagcn(sd: dict, model) -> dict:
+    """AA-GCN two-stream importer. The reference has no edge-importance
+    masks (aagcn.py:28-50); stgx's default to ones, which is the identity
+    mask, so imported checkpoints are forward-identical."""
+    kind = model.normalization
+    V = model.graph["num_node"]
+    n_layers = len(model.in_ch)
+    p = {}
+    for s, stream in enumerate(("joint_stream", "bone_stream")):
         sp = {
-            "Dense_0": _conv1x1(sd, f"{base}.conv_in"),
-            "Dense_1": _conv1x1(sd, f"{base}.conv_out"),
+            _norm_name(kind, 0): _norm(sd, f"streams.{s}.norm_in", kind, V,
+                                       per_joint_bn=True),
+            "Dense_0": _conv1x1(sd, f"streams.{s}.fcn_in"),
+            "Dense_1": _conv1x1(sd, f"streams.{s}.fcn_out"),
+            "edge_importance": np.ones(
+                (n_layers,) + _np(sd[f"streams.{s}.gcn_networks.0.B"]).shape,
+                np.float32,
+            ),
         }
-        for j in range(model.layers[s]):
-            lb = f"{base}.layers.{j}.conv"
-            cw, cb = _tconv(sd, f"{lb}.0")
-            sp[f"DilatedResidualLayer_{j}"] = {
-                "conv_kernel": cw,
-                "conv_bias": cb,
-                "Dense_0": _conv1x1(sd, f"{lb}.2"),
+        for i in range(n_layers):
+            base = f"streams.{s}.gcn_networks.{i}"
+            sp[f"AgcnLayer_{i}"] = {
+                "B": _np(sd[f"{base}.B"]),
+                "theta_kernel": _conv1x1(sd, f"{base}.theta")["kernel"],
+                "theta_bias": _np(sd[f"{base}.theta.bias"]),
+                "phi_kernel": _conv1x1(sd, f"{base}.phi")["kernel"],
+                "phi_bias": _np(sd[f"{base}.phi.bias"]),
+                "StgcnLayer_0": _import_layer(
+                    sd, f"{base}.st_gcn", kind, V, model.out_ch[i],
+                    _is_res_conv(model, i), rt=False,
+                ),
             }
-        p[f"SingleStage_{s}"] = sp
+        p[stream] = sp
     return {"params": p}
 
 
 IMPORTERS = {
     "st-gcn": _import_stgcn_family,
     "rt-st-gcn": _import_stgcn_family,
+    "co-st-gcn": _import_stgcn_family,
     "ms-tcn": _import_mstcn,
+    "ms-gcn": _import_msgcn,
+    "aa-gcn": _import_aagcn,
 }
 
 

@@ -214,8 +214,134 @@ def test_import_mstcn_matches_reference_forward():
 
 def test_import_unknown_model_raises():
     try:
-        import_reference_state_dict({}, None, "aa-gcn")
+        import_reference_state_dict({}, None, "shift-gcn")
     except ValueError as e:
-        assert "aa-gcn" in str(e)
+        assert "shift-gcn" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference not mounted")
+def test_import_aagcn_matches_reference_forward():
+    from models.aagcn.aagcn import Model as RefAagcn
+
+    arch = {
+        "in_feat": 6, "layers": 2, "kernel": 3, "in_ch": [8, 8],
+        "out_ch": [8, 16], "stride": [1, 1], "residual": [1, 1],
+        "dropout": [0.0, 0.0],
+    }
+    ref = RefAagcn(
+        strategy="spatial", in_feat=6, num_classes=5,
+        normalization="LayerNorm", output_type="logits",
+        graph=_graph_kwargs(), **{"aa-gcn": arch},
+    ).eval()
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.add_(torch.randn_like(p) * 0.05)
+
+    model = MODELS["aa-gcn"](
+        num_classes=5, in_feat=6, graph=SKEL, kernel=3,
+        in_ch=(8, 8), out_ch=(8, 16), stride=(1, 1), residual=(1, 1),
+        dropout=(0.0, 0.0), normalization="LayerNorm",
+        output_type="logits",
+    )
+    params = import_reference_state_dict(ref.state_dict(), model, "aa-gcn")
+    _assert_same_tree(
+        params, model.init(jax.random.PRNGKey(0), jnp.zeros((2, 12, 7, 6)))
+    )
+
+    x = RNG.normal(size=(2, 12, 7, 6)).astype(np.float32)
+    y = np.asarray(model.apply(params, jnp.asarray(x)))
+    with torch.no_grad():
+        y_ref = ref(to_torch(x)).numpy().squeeze(-1)
+    np.testing.assert_allclose(y, y_ref, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference not mounted")
+def test_import_msgcn_two_part_checkpoint():
+    """The MS-GCN checkpoint stores generator_stage / refinement_stages as
+    separate dicts (reference processor.py:333-342); both nest correctly
+    into the stgx tree and the forward runs."""
+    from models.msgcn.msgcn import Model as RefMsGcn
+
+    ref = RefMsGcn(
+        strategy="spatial", in_feat=6, num_classes=5,
+        normalization="LayerNorm", refine="softmax", output_type="logits",
+        graph=_graph_kwargs(), stages=2,
+        **{
+            "st-gcn": {
+                "importance": True, "in_feat": 6, "layers": 2, "kernel": 3,
+                "in_ch": [8, 8], "out_ch": [8, 16], "stride": [1, 1],
+                "residual": [1, 1], "dropout": [0.0, 0.0],
+            },
+            "ms-tcn": {
+                "stages": 2, "filters": [8, 8], "layers": [2, 2],
+                "kernel": [3, 3], "dropout": [0.0, 0.0],
+            },
+        },
+    ).eval()
+    two_part = {
+        "generator_stage": ref.generator_stage.state_dict(),
+        "refinement_stages": ref.refinement_stages.state_dict(),
+    }
+    model = MODELS["ms-gcn"](
+        num_classes=5, in_feat=6, graph=SKEL, kernel=3,
+        in_ch=(8, 8), out_ch=(8, 16), stride=(1, 1), residual=(1, 1),
+        dropout=(0.0, 0.0), normalization="LayerNorm", stages=2,
+        filters=(8, 8), layers=(2, 2), refine_kernel=(3, 3),
+        refine_dropout=(0.0, 0.0), refine="softmax", output_type="logits",
+    )
+    params = import_reference_state_dict(
+        {"epoch": 3, "model_state_dict": two_part}, model, "ms-gcn"
+    )
+    _assert_same_tree(
+        params, model.init(jax.random.PRNGKey(0), jnp.zeros((12, 10, 7, 6)))
+    )
+    # value spot checks through both parts
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["Stgcn_0"]["fcn_in"]["kernel"]),
+        ref.generator_stage.fcn_in.weight.detach().numpy()[:, :, 0, 0].T,
+    )
+    np.testing.assert_allclose(
+        np.asarray(
+            params["params"]["SingleStage_1"]["Dense_0"]["kernel"]
+        ),
+        ref.refinement_stages[1].conv_in.weight.detach().numpy()[:, :, 0, 0].T,
+    )
+    x = jnp.asarray(RNG.normal(size=(12, 10, 7, 6)).astype(np.float32))
+    y = model.apply(params, x)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference not mounted")
+def test_import_costgcn_structure_and_values():
+    from models.costgcn.costgcn import Model as RefModel
+
+    arch = {
+        "importance": True, "in_feat": 6, "layers": 2, "kernel": 3,
+        "in_ch": [8, 8], "out_ch": [8, 16], "stride": [1, 1],
+        "dilation": [1, 2], "residual": [1, 1], "dropout": [0.0, 0.0],
+    }
+    ref = RefModel(
+        strategy="spatial", in_feat=6, num_classes=5,
+        normalization="LayerNorm", graph=_graph_kwargs(),
+        **{"st-gcn": arch},  # the reference costgcn reads the st-gcn group
+    )
+    model = MODELS["co-st-gcn"](
+        num_classes=5, in_feat=6, graph=SKEL, kernel=3,
+        in_ch=(8, 8), out_ch=(8, 16), residual=(1, 1),
+        dropout=(0.0, 0.0), dilation=(1, 2), normalization="LayerNorm",
+    )
+    sd = ref.state_dict()
+    params = import_reference_state_dict(sd, model, "co-st-gcn")
+    _assert_same_tree(
+        params, model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 7, 6)))
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["layers_1"]["tcn_kernel"]),
+        sd["gcn_networks.1.tcn.2.weight"].numpy()[:, :, :, 0]
+        .transpose(2, 1, 0),
+    )
+    x = jnp.asarray(RNG.normal(size=(1, 16, 7, 6)).astype(np.float32))
+    y = model.apply(params, x)
+    assert np.isfinite(np.asarray(y)).all()
