@@ -180,9 +180,12 @@ def run_streaming_benchmark(cfg) -> int:
     x, y = val[0]
     params = model.init(jax.random.PRNGKey(0), np.asarray(x[None]))
     if proc.get("torch_checkpoint"):
-        from stgx.cli import maybe_import_torch_checkpoint
+        from stgx.utils.torch_import import load_reference_checkpoint
 
-        params = maybe_import_torch_checkpoint(cfg, model, params)
+        params = load_reference_checkpoint(
+            proc["torch_checkpoint"], model, name
+        )
+        print(f"imported reference torch checkpoint {proc['torch_checkpoint']}")
     else:
         ckpt = proc.get("checkpoint") or latest_epoch(out_dir)
         if ckpt and os.path.isdir(ckpt):

@@ -116,21 +116,23 @@ def _build_all(cfg):
     return trainer, train_ds, val_ds, actions, num_classes
 
 
-def maybe_import_torch_checkpoint(cfg, model, params, log=print):
+def maybe_import_torch_checkpoint(cfg, trainer, params, opt_state, log=print):
     """``processor.torch_checkpoint``: initialize from a reference-trained
     PyTorch checkpoint (stgx/utils/torch_import.py) — the no-retrain
-    migration path. Returns params unchanged when the key is unset."""
+    migration path. Re-places the imported host arrays with the trainer's
+    mesh layout (TP sharding included) and rebuilds the optimizer state so
+    params and moments share one layout. No-op when the key is unset."""
     path = cfg["processor"].get("torch_checkpoint")
     if not path:
-        return params
-    import torch
+        return params, opt_state
+    from stgx.utils.torch_import import load_reference_checkpoint
 
-    from stgx.utils.torch_import import import_reference_state_dict
-
-    sd = torch.load(path, map_location="cpu", weights_only=False)
-    params = import_reference_state_dict(sd, model, cfg["processor"]["model"])
+    params = trainer.place_params(
+        load_reference_checkpoint(path, trainer.model,
+                                  cfg["processor"]["model"])
+    )
     log(f"imported reference torch checkpoint {path}")
-    return params
+    return params, trainer.tx.init(params)
 
 
 def _metrics(cfg, num_classes):
@@ -185,7 +187,9 @@ def cmd_train(cfg):
         )
     )
     params, opt_state = trainer.init(sample)
-    params = maybe_import_torch_checkpoint(cfg, trainer.model, params, log)
+    params, opt_state = maybe_import_torch_checkpoint(
+        cfg, trainer, params, opt_state, log
+    )
     start_epoch = 0
     if cfg["processor"].get("checkpoint"):
         start_epoch, params, opt_state = restore_checkpoint(
@@ -273,7 +277,9 @@ def cmd_test(cfg):
     )
     params, opt_state = trainer.init(sample)
     if cfg["processor"].get("torch_checkpoint"):
-        params = maybe_import_torch_checkpoint(cfg, trainer.model, params, log)
+        params, opt_state = maybe_import_torch_checkpoint(
+            cfg, trainer, params, opt_state, log
+        )
     else:
         ckpt = cfg["processor"].get("checkpoint") or latest_epoch(out_dir)
         if ckpt:

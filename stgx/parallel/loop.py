@@ -93,9 +93,11 @@ class Trainer:
                     "pipeline=True needs a mesh with a `model` axis sized "
                     "to the refinement-stage count"
                 )
-            if any(d != 0.0 for d in self.model.dropout[1:]):
+            if any(d != 0.0 for d in self.model.dropout):
+                # the pipelined forward runs every stage (generator
+                # included) without per-stage rng threading
                 raise ValueError(
-                    "pipelined refinement needs zero refinement dropout"
+                    "pipelined ms-tcn needs zero dropout in every stage"
                 )
         self.tx = optax.inject_hyperparams(optax.adam)(
             learning_rate=self.opt.learning_rate
@@ -112,18 +114,25 @@ class Trainer:
     def init(self, sample_x, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(self.opt.seed)
         x = jnp.asarray(sample_x)
-        params = self.model.init(rng, x)
-        if self.mesh is not None:
-            if self.mesh.shape.get("model", 1) > 1:
-                # tensor parallelism: output channels sharded over `model`;
-                # the optimizer state below inherits the layout via zeros_like
-                from stgx.parallel.tp import shard_params_tp
-
-                params = shard_params_tp(params, self.mesh)
-            else:
-                params = jax.device_put(params, NamedSharding(self.mesh, P()))
+        params = self.place_params(self.model.init(rng, x))
         opt_state = self.tx.init(params)
         return params, opt_state
+
+    def place_params(self, params):
+        """Lay params out on the mesh (TP channel sharding when the `model`
+        axis is sized, replicated otherwise). Also used to re-place params
+        loaded from external sources (e.g. imported torch checkpoints) so
+        they keep the layout the optimizer state was built for."""
+        params = jax.tree.map(jnp.asarray, params)
+        if self.mesh is None:
+            return params
+        if self.mesh.shape.get("model", 1) > 1:
+            # tensor parallelism: output channels sharded over `model`;
+            # optimizer state built from these inherits the layout
+            from stgx.parallel.tp import shard_params_tp
+
+            return shard_params_tp(params, self.mesh)
+        return jax.device_put(params, NamedSharding(self.mesh, P()))
 
     def _apply(self, grads, opt_state, params):
         updates, opt_state = self.tx.update(grads, opt_state, params)

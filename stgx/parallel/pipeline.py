@@ -22,6 +22,8 @@ the sequential model (forward and gradients) is pinned in
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -82,7 +84,14 @@ def pipeline_apply(
             "size the mesh so one device holds one refinement stage"
         )
     N = y.shape[0]
-    M = num_microbatches if num_microbatches is not None else min(N, S)
+    if num_microbatches is not None:
+        M = num_microbatches
+    elif N % S == 0:
+        M = S
+    else:
+        # largest microbatch count that divides N while staying ≤ S keeps
+        # any batch size valid (gcd falls back to 1 = no microbatching)
+        M = math.gcd(N, S)
     if N % M != 0:
         raise ValueError(f"batch {N} not divisible into {M} microbatches")
     y_mb = y.reshape(M, N // M, *y.shape[1:])
@@ -161,14 +170,19 @@ def mstcn_apply_pipelined(
     out = output_adapter(model.output_type)
     p = params["params"]
 
+    # train=True keeps arch.remat active under AD; only safe (rng-free)
+    # when every stage's dropout is 0 — the Trainer enforces that for
+    # pipelined training, and for eval usage train=False is equivalent
+    train = all(d == 0.0 for d in model.dropout)
     gen = SingleStage(
         out_channels=model.num_classes,
         num_filters=model.filters[0],
         num_layers=model.layers[0],
         kernel=model.kernel[0],
         dropout=model.dropout[0],
+        remat=model.remat,
     )
-    y = gen.apply({"params": p["SingleStage_0"]}, x)
+    y = gen.apply({"params": p["SingleStage_0"]}, x, train=train)
     y = jnp.mean(y, axis=2)  # (N, L, C)
 
     filt, layers, kern, drop = _uniform_refine(model, 1)
@@ -178,10 +192,13 @@ def mstcn_apply_pipelined(
         num_layers=layers,
         kernel=kern,
         dropout=drop,
+        remat=model.remat,
     )
 
     def stage_fn(sp, yin):
-        return refine.apply({"params": sp}, prob(yin)[:, :, None, :])[:, :, 0, :]
+        return refine.apply(
+            {"params": sp}, prob(yin)[:, :, None, :], train=train
+        )[:, :, 0, :]
 
     stacked = stack_stage_params(
         p, [f"SingleStage_{s}" for s in range(1, model.stages)]

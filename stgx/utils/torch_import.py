@@ -276,3 +276,14 @@ def import_reference_state_dict(state_dict, model, name: str):
             f"no importer for {name!r}; supported: {sorted(IMPORTERS)}"
         )
     return IMPORTERS[name](_unwrap(state_dict), model)
+
+
+def load_reference_checkpoint(path: str, model, name: str):
+    """Load a reference ``.pt`` file and convert it (see
+    :func:`import_reference_state_dict`). Uses ``weights_only=True`` —
+    reference checkpoints are plain tensor/scalar dicts, so the unpickler
+    never needs to execute arbitrary code from the file."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return import_reference_state_dict(sd, model, name)
