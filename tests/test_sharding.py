@@ -116,3 +116,38 @@ def test_trainer_on_mesh(devices):
     params, opt_state, st = trainer.train_epoch(params, opt_state, ds, 0)
     ev = trainer.evaluate(params, ds)
     assert np.isfinite(st["ce"]) and np.isfinite(ev["ce"])
+
+
+def test_sequence_parallel_strided_matches_single_device(devices):
+    # SURVEY.md §7 hard part: stride-2 layers change the effective halo and
+    # per-shard lengths mid-network; GSPMD must still match single-device
+    mesh = make_mesh(data=1, seq=8)
+    model = MODELS["rt-st-gcn"](
+        num_classes=5, in_feat=6, graph=SKEL, kernel=5, in_ch=(8, 8, 16),
+        out_ch=(8, 16, 16), stride=(1, 2, 1), residual=(1, 1, 1),
+        dropout=(0.0, 0.0, 0.0), normalization="LayerNorm",
+    )
+    loss = LOSS["rt-st-gcn"](np.ones(5, np.float32))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 128, 7, 6)).astype(np.float32))
+    # rt-st-gcn keeps full per-frame resolution despite strides (stride
+    # spaces the causal accumulation; it never decimates the frame axis)
+    y = jnp.asarray(rng.integers(0, 5, size=(1, 128)))
+    mask = jnp.ones((1, 128), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    l_ref, g_ref = jax.jit(
+        lambda p, x, y, m: _loss_and_grads(model, loss, p, x, y, m)
+    )(params, x, y, mask)
+
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "seq")))
+    ys = jax.device_put(y, NamedSharding(mesh, P(None, "seq")))
+    ms = jax.device_put(mask, NamedSharding(mesh, P(None, "seq")))
+    ps = jax.device_put(params, NamedSharding(mesh, P()))
+    l_sp, g_sp = jax.jit(
+        lambda p, x, y, m: _loss_and_grads(model, loss, p, x, y, m)
+    )(ps, xs, ys, ms)
+
+    np.testing.assert_allclose(float(l_sp), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_sp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
