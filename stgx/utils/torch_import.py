@@ -37,7 +37,13 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["import_reference_state_dict", "IMPORTERS"]
+__all__ = [
+    "import_reference_state_dict",
+    "export_reference_state_dict",
+    "load_reference_checkpoint",
+    "IMPORTERS",
+    "EXPORTERS",
+]
 
 
 def _np(v) -> np.ndarray:
@@ -287,3 +293,181 @@ def load_reference_checkpoint(path: str, model, name: str):
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return import_reference_state_dict(sd, model, name)
+
+
+# -- reverse direction: stgx params → reference state dict --------------------
+
+
+def _inv_conv1x1(dp):
+    out = {"weight": _np(dp["kernel"]).T[:, :, None, None]}
+    if "bias" in dp:
+        out["bias"] = _np(dp["bias"])
+    return out
+
+
+def _inv_graph_conv(gp):
+    k = _np(gp["kernel"])  # (P, C, D)
+    p_, c, d = k.shape
+    out = {"weight": k.transpose(0, 2, 1).reshape(p_ * d, c)[:, :, None, None]}
+    if "bias" in gp:
+        out["bias"] = _np(gp["bias"]).reshape(-1)
+    return out
+
+
+def _inv_tconv(kernel, bias):
+    w = _np(kernel).transpose(2, 1, 0)[:, :, :, None]  # (D, C, Γ, 1)
+    return {"weight": w, "bias": _np(bias)}
+
+
+def _inv_norm(npz, kind, per_joint_bn=False):
+    w, b = _np(npz["scale"]), _np(npz["bias"])
+    if kind == "LayerNorm":
+        return {"weight": w.T[:, None, :], "bias": b.T[:, None, :]}
+    if per_joint_bn:
+        return {"norm.weight": w.reshape(-1), "norm.bias": b.reshape(-1)}
+    return {"weight": w, "bias": b}
+
+
+def _emit(sd, base, tensors):
+    for k, v in tensors.items():
+        sd[f"{base}.{k}"] = v
+
+
+def _export_layer(sd, base, lp, kind, res_conv, rt=False):
+    _emit(sd, f"{base}.conv" if rt else f"{base}.gcn.conv",
+          _inv_graph_conv(lp["GraphConv_0"]))
+    idx = 0
+    if res_conv:
+        sd[f"{base}.residual.0.weight"] = (
+            _np(lp["res_kernel"]).T[:, :, None, None]
+        )
+        if "res_bias" in lp:
+            sd[f"{base}.residual.0.bias"] = _np(lp["res_bias"])
+        _emit(sd, f"{base}.residual.1",
+              _inv_norm(lp[_norm_name(kind, idx)], kind))
+        idx += 1
+    if rt:
+        _emit(sd, f"{base}.bn_relu.0",
+              _inv_norm(lp[_norm_name(kind, idx)], kind))
+    else:
+        _emit(sd, f"{base}.tcn.0", _inv_norm(lp[_norm_name(kind, idx)], kind))
+        _emit(sd, f"{base}.tcn.2",
+              _inv_tconv(lp["tcn_kernel"], lp["tcn_bias"]))
+        _emit(sd, f"{base}.tcn.3",
+              _inv_norm(lp[_norm_name(kind, idx + 1)], kind))
+
+
+def _graph_A(model) -> np.ndarray:
+    from stgx.graph import Graph
+
+    return np.asarray(Graph(strategy=model.strategy, **model.graph).A,
+                      dtype=np.float32)
+
+
+def _export_stgcn_body(p, model, sd, prefix=""):
+    rt = model.__class__.__name__ == "RtStgcn"
+    layer_key = "st_gcn" if rt else "gcn_networks"
+    kind = model.normalization
+    _emit(sd, f"{prefix}norm_in",
+          _inv_norm(p["norm_in"], kind, per_joint_bn=True))
+    _emit(sd, f"{prefix}fcn_in", _inv_conv1x1(p["fcn_in"]))
+    _emit(sd, f"{prefix}fcn_out", _inv_conv1x1(p["fcn_out"]))
+    for i in range(len(model.in_ch)):
+        base = f"{prefix}{layer_key}.{i}"
+        _export_layer(sd, base, p[f"layers_{i}"], kind,
+                      _is_res_conv(model, i), rt)
+        if "edge_importance" in p:
+            key = (f"{base}.edge_importance" if rt
+                   else f"{prefix}edge_importance.{i}")
+            sd[key] = _np(p["edge_importance"][i])
+    sd[f"{prefix}A"] = _graph_A(model)
+    return sd
+
+
+def _export_stgcn_family(params, model):
+    return _export_stgcn_body(params["params"], model, {})
+
+
+def _export_single_stage(sd, base, sp, num_layers):
+    _emit(sd, f"{base}.conv_in", _inv_conv1x1(sp["Dense_0"]))
+    _emit(sd, f"{base}.conv_out", _inv_conv1x1(sp["Dense_1"]))
+    for j in range(num_layers):
+        lp = sp[f"DilatedResidualLayer_{j}"]
+        _emit(sd, f"{base}.layers.{j}.conv.0",
+              _inv_tconv(lp["conv_kernel"], lp["conv_bias"]))
+        _emit(sd, f"{base}.layers.{j}.conv.2", _inv_conv1x1(lp["Dense_0"]))
+
+
+def _export_mstcn(params, model):
+    sd = {}
+    p = params["params"]
+    for s in range(model.stages):
+        base = ("generator_stage" if s == 0
+                else f"refinement_stages.{s - 1}")
+        _export_single_stage(sd, base, p[f"SingleStage_{s}"], model.layers[s])
+    return sd
+
+
+def _export_msgcn(params, model):
+    """Two-part dict matching the reference saver (processor.py:333-342)."""
+    p = params["params"]
+    gen = _export_stgcn_body(p["Stgcn_0"], model, {})
+    ref = {}
+    for s in range(model.stages):
+        _export_single_stage(ref, str(s), p[f"SingleStage_{s}"],
+                             model.layers[s])
+    return {"generator_stage": gen, "refinement_stages": ref}
+
+
+def _export_aagcn(params, model):
+    p = params["params"]
+    kind = model.normalization
+    sd = {}
+    for s, stream in enumerate(("joint_stream", "bone_stream")):
+        sp = p[stream]
+        imp = _np(sp["edge_importance"])
+        if not np.allclose(imp, 1.0):
+            raise ValueError(
+                "aa-gcn export: stgx edge-importance masks are not the "
+                "identity; the reference AA-GCN has no such parameter, so "
+                "these weights cannot be represented losslessly"
+            )
+        _emit(sd, f"streams.{s}.norm_in",
+              _inv_norm(sp[_norm_name(kind, 0)], kind, per_joint_bn=True))
+        _emit(sd, f"streams.{s}.fcn_in", _inv_conv1x1(sp["Dense_0"]))
+        _emit(sd, f"streams.{s}.fcn_out", _inv_conv1x1(sp["Dense_1"]))
+        for i in range(len(model.in_ch)):
+            base = f"streams.{s}.gcn_networks.{i}"
+            lp = sp[f"AgcnLayer_{i}"]
+            sd[f"{base}.B"] = _np(lp["B"])
+            _emit(sd, f"{base}.theta", _inv_conv1x1(
+                {"kernel": lp["theta_kernel"], "bias": lp["theta_bias"]}))
+            _emit(sd, f"{base}.phi", _inv_conv1x1(
+                {"kernel": lp["phi_kernel"], "bias": lp["phi_bias"]}))
+            _export_layer(sd, f"{base}.st_gcn", lp["StgcnLayer_0"], kind,
+                          _is_res_conv(model, i), rt=False)
+    sd["A"] = _graph_A(model)
+    return sd
+
+
+EXPORTERS = {
+    "st-gcn": _export_stgcn_family,
+    "rt-st-gcn": _export_stgcn_family,
+    "co-st-gcn": _export_stgcn_family,
+    "ms-tcn": _export_mstcn,
+    "ms-gcn": _export_msgcn,
+    "aa-gcn": _export_aagcn,
+}
+
+
+def export_reference_state_dict(params, model, name: str) -> dict:
+    """Convert stgx params back into the reference's state-dict naming
+    (numpy arrays; wrap values in ``torch.tensor`` / save with
+    ``torch.save`` to hand a TPU-trained model to the reference code).
+    Includes the ``A`` adjacency buffer so ``load_state_dict(strict=True)``
+    passes on the reference models that register it."""
+    if name not in EXPORTERS:
+        raise ValueError(
+            f"no exporter for {name!r}; supported: {sorted(EXPORTERS)}"
+        )
+    return EXPORTERS[name](params, model)

@@ -345,3 +345,120 @@ def test_import_costgcn_structure_and_values():
     x = jnp.asarray(RNG.normal(size=(1, 16, 7, 6)).astype(np.float32))
     y = model.apply(params, x)
     assert np.isfinite(np.asarray(y)).all()
+
+
+# -- export direction ---------------------------------------------------------
+
+
+def _models_for_roundtrip():
+    common = dict(
+        num_classes=5, in_feat=6, graph=SKEL, kernel=3,
+        in_ch=(8, 8), out_ch=(8, 16), residual=(1, 1),
+        dropout=(0.0, 0.0), normalization="LayerNorm",
+    )
+    return {
+        "st-gcn": MODELS["st-gcn"](stride=(1, 1), importance=True, **common),
+        "rt-st-gcn": MODELS["rt-st-gcn"](stride=(1, 1), importance=True,
+                                         **common),
+        "co-st-gcn": MODELS["co-st-gcn"](dilation=(1, 2), **common),
+        "aa-gcn": MODELS["aa-gcn"](stride=(1, 1), **common),
+        "ms-tcn": MODELS["ms-tcn"](
+            num_classes=5, in_feat=6, stages=2, filters=(8, 8),
+            layers=(2, 2), kernel=(3, 3), dropout=(0.0, 0.0),
+        ),
+        "ms-gcn": MODELS["ms-gcn"](
+            stride=(1, 1), stages=2, filters=(8, 8), layers=(2, 2),
+            refine_kernel=(3, 3), refine_dropout=(0.0, 0.0), **common,
+        ),
+    }
+
+
+@pytest.mark.parametrize("name", ["st-gcn", "rt-st-gcn", "co-st-gcn",
+                                  "aa-gcn", "ms-tcn", "ms-gcn"])
+def test_export_import_roundtrip(name):
+    """export ∘ import is the identity on every family's parameter tree."""
+    from stgx.utils.torch_import import export_reference_state_dict
+
+    model = _models_for_roundtrip()[name]
+    n = 12 if name in ("ms-gcn",) else 2
+    params = model.init(jax.random.PRNGKey(3), jnp.zeros((n, 10, 7, 6)))
+    sd = export_reference_state_dict(params, model, name)
+    if name == "ms-gcn":  # wrap like the reference checkpoint saver
+        sd = {"model_state_dict": sd}
+    back = import_reference_state_dict(sd, model, name)
+    _assert_same_tree(back, params)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(back),
+        jax.tree_util.tree_leaves_with_path(params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=0,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference not mounted")
+def test_export_stgcn_loads_strict_and_matches():
+    """Exported weights load into the ACTUAL reference model with
+    strict=True (A buffer included) and reproduce the stgx forward."""
+    from models.stgcn.stgcn import Model as RefModel
+    from stgx.utils.torch_import import export_reference_state_dict
+
+    arch = {
+        "importance": True, "in_feat": 6, "layers": 2, "kernel": 3,
+        "in_ch": [8, 8], "out_ch": [8, 16], "stride": [1, 2],
+        "residual": [1, 1], "dropout": [0.0, 0.0],
+    }
+    model = MODELS["st-gcn"](
+        num_classes=5, in_feat=6, graph=SKEL, kernel=3,
+        in_ch=(8, 8), out_ch=(8, 16), stride=(1, 2), residual=(1, 1),
+        dropout=(0.0, 0.0), normalization="LayerNorm", importance=True,
+    )
+    params = model.init(jax.random.PRNGKey(5), jnp.zeros((2, 12, 7, 6)))
+    sd = export_reference_state_dict(params, model, "st-gcn")
+
+    ref = RefModel(
+        strategy="spatial", in_feat=6, num_classes=5,
+        normalization="LayerNorm", graph=_graph_kwargs(),
+        **{"st-gcn": arch},
+    ).eval()
+    ref.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()},
+                        strict=True)
+
+    x = RNG.normal(size=(2, 12, 7, 6)).astype(np.float32)
+    y = np.asarray(model.apply(params, jnp.asarray(x)))
+    with torch.no_grad():
+        y_ref = ref(to_torch(x)).numpy().squeeze(-1)
+    np.testing.assert_allclose(y, y_ref, atol=3e-4, rtol=1e-4)
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference not mounted")
+def test_export_aagcn_loads_strict_and_matches():
+    from models.aagcn.aagcn import Model as RefAagcn
+    from stgx.utils.torch_import import export_reference_state_dict
+
+    arch = {
+        "in_feat": 6, "layers": 2, "kernel": 3, "in_ch": [8, 8],
+        "out_ch": [8, 16], "stride": [1, 1], "residual": [1, 1],
+        "dropout": [0.0, 0.0],
+    }
+    model = MODELS["aa-gcn"](
+        num_classes=5, in_feat=6, graph=SKEL, kernel=3,
+        in_ch=(8, 8), out_ch=(8, 16), stride=(1, 1), residual=(1, 1),
+        dropout=(0.0, 0.0), normalization="LayerNorm",
+        output_type="logits",
+    )
+    params = model.init(jax.random.PRNGKey(6), jnp.zeros((2, 12, 7, 6)))
+    sd = export_reference_state_dict(params, model, "aa-gcn")
+    ref = RefAagcn(
+        strategy="spatial", in_feat=6, num_classes=5,
+        normalization="LayerNorm", output_type="logits",
+        graph=_graph_kwargs(), **{"aa-gcn": arch},
+    ).eval()
+    ref.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()},
+                        strict=True)
+    x = RNG.normal(size=(2, 12, 7, 6)).astype(np.float32)
+    y = np.asarray(model.apply(params, jnp.asarray(x)))
+    with torch.no_grad():
+        y_ref = ref(to_torch(x)).numpy().squeeze(-1)
+    np.testing.assert_allclose(y, y_ref, atol=5e-4, rtol=1e-3)
