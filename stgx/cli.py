@@ -120,19 +120,44 @@ def maybe_import_torch_checkpoint(cfg, trainer, params, opt_state, log=print):
     """``processor.torch_checkpoint``: initialize from a reference-trained
     PyTorch checkpoint (stgx/utils/torch_import.py) — the no-retrain
     migration path. Re-places the imported host arrays with the trainer's
-    mesh layout (TP sharding included) and rebuilds the optimizer state so
-    params and moments share one layout. No-op when the key is unset."""
+    mesh layout (TP sharding included), rebuilds the optimizer state (with
+    the reference's Adam moments when the checkpoint carries them), and
+    returns the saved epoch for resume. No-op when the key is unset.
+
+    Returns ``(params, opt_state, epoch_or_none)``."""
     path = cfg["processor"].get("torch_checkpoint")
     if not path:
-        return params, opt_state
-    from stgx.utils.torch_import import load_reference_checkpoint
+        return params, opt_state, None
+    import torch
 
-    params = trainer.place_params(
-        load_reference_checkpoint(path, trainer.model,
-                                  cfg["processor"]["model"])
+    from stgx.utils.torch_import import (
+        import_reference_optimizer,
+        import_reference_state_dict,
     )
+
+    name = cfg["processor"]["model"]
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    params = trainer.place_params(
+        import_reference_state_dict(ckpt, trainer.model, name)
+    )
+    opt_state = trainer.tx.init(params)
     log(f"imported reference torch checkpoint {path}")
-    return params, trainer.tx.init(params)
+    epoch = ckpt.get("epoch") if isinstance(ckpt, dict) else None
+    if isinstance(ckpt, dict) and "optimizer_state_dict" in ckpt:
+        try:
+            mu, nu, count = import_reference_optimizer(
+                ckpt, trainer.model, name
+            )
+            opt_state = trainer.load_adam_moments(
+                opt_state,
+                trainer.place_params(mu),
+                trainer.place_params(nu),
+                count,
+            )
+            log(f"imported Adam moments (step count {count})")
+        except (ValueError, KeyError) as e:
+            log(f"optimizer state not imported: {e}")
+    return params, opt_state, epoch
 
 
 def _metrics(cfg, num_classes):
@@ -187,10 +212,14 @@ def cmd_train(cfg):
         )
     )
     params, opt_state = trainer.init(sample)
-    params, opt_state = maybe_import_torch_checkpoint(
+    params, opt_state, torch_epoch = maybe_import_torch_checkpoint(
         cfg, trainer, params, opt_state, log
     )
     start_epoch = 0
+    if torch_epoch is not None:
+        # same resume rule as the reference (processor.py:582-587)
+        start_epoch = int(torch_epoch) + 1
+        log(f"resuming at epoch {start_epoch}")
     if cfg["processor"].get("checkpoint"):
         start_epoch, params, opt_state = restore_checkpoint(
             cfg["processor"]["checkpoint"], params, opt_state
@@ -277,7 +306,7 @@ def cmd_test(cfg):
     )
     params, opt_state = trainer.init(sample)
     if cfg["processor"].get("torch_checkpoint"):
-        params, opt_state = maybe_import_torch_checkpoint(
+        params, opt_state, _ = maybe_import_torch_checkpoint(
             cfg, trainer, params, opt_state, log
         )
     else:

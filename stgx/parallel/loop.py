@@ -138,6 +138,29 @@ class Trainer:
         updates, opt_state = self.tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state
 
+    def load_adam_moments(self, opt_state, mu, nu, count: int):
+        """Replace the Adam first/second-moment trees and step count inside
+        an existing opt state (used when resuming from an imported reference
+        checkpoint — processor.py:579,582-587 semantics). ``mu``/``nu`` must
+        already share the params' structure and placement."""
+        count = jnp.asarray(count, jnp.int32)
+        hits = []
+
+        def walk(s):
+            if isinstance(s, optax.ScaleByAdamState):
+                hits.append(True)
+                return s._replace(count=count, mu=mu, nu=nu)
+            if isinstance(s, tuple) and hasattr(s, "_fields"):
+                return type(s)(*[walk(v) for v in s])
+            if isinstance(s, tuple):
+                return tuple(walk(v) for v in s)
+            return s
+
+        new = walk(opt_state)
+        if not hits:
+            raise ValueError("no ScaleByAdamState found in the opt state")
+        return new
+
     def set_lr(self, opt_state, epoch: int):
         """``lr · decay^epoch`` (reference processor.py:265)."""
         rate = self.opt.learning_rate * (self.opt.learning_rate_decay**epoch)

@@ -41,6 +41,7 @@ __all__ = [
     "import_reference_state_dict",
     "export_reference_state_dict",
     "load_reference_checkpoint",
+    "import_reference_optimizer",
     "IMPORTERS",
     "EXPORTERS",
 ]
@@ -471,3 +472,55 @@ def export_reference_state_dict(params, model, name: str) -> dict:
             f"no exporter for {name!r}; supported: {sorted(EXPORTERS)}"
         )
     return EXPORTERS[name](params, model)
+
+
+# -- optimizer state ----------------------------------------------------------
+
+
+def import_reference_optimizer(checkpoint: dict, model, name: str):
+    """Convert the reference checkpoint's Adam state into stgx moment trees.
+
+    The reference optimizes ``Adam(self.model.parameters())``
+    (processor.py:579) and saves ``optimizer_state_dict`` whose integer keys
+    index ``named_parameters()`` order — which equals the model state dict's
+    key order with buffers removed (the only buffer in these families is the
+    top-level ``A`` adjacency). Each moment tensor has its parameter's shape,
+    so the weight layout transforms apply verbatim.
+
+    Returns ``(mu, nu, count)``: two pytrees shaped like the stgx params and
+    the (minimum) Adam step count. Not supported for ``ms-gcn`` (its
+    checkpoint splits the model dict, losing the flat parameter order).
+    """
+    if name == "ms-gcn":
+        raise ValueError(
+            "ms-gcn optimizer import is unsupported: the two-part checkpoint "
+            "loses the flat parameter order Adam state is keyed by"
+        )
+    msd = _unwrap(checkpoint["model_state_dict"]
+                  if "model_state_dict" in checkpoint else checkpoint)
+    osd = checkpoint["optimizer_state_dict"]
+    param_keys = [k for k in msd if k != "A"]
+    state = osd["state"]
+    order = osd["param_groups"][0]["params"]
+    if len(order) != len(param_keys):
+        raise ValueError(
+            f"optimizer has {len(order)} params but the model dict has "
+            f"{len(param_keys)} non-buffer tensors — architectures differ"
+        )
+
+    def moment_tree(field):
+        fake_sd = {
+            k: state[idx][field] for k, idx in zip(param_keys, order)
+        }
+        tree = IMPORTERS[name](fake_sd, model)
+        if name == "aa-gcn":
+            # stgx-only param (no reference counterpart): moments start at 0
+            for stream in ("joint_stream", "bone_stream"):
+                imp = tree["params"][stream]["edge_importance"]
+                tree["params"][stream]["edge_importance"] = np.zeros_like(imp)
+        return tree
+
+    mu = moment_tree("exp_avg")
+    nu = moment_tree("exp_avg_sq")
+    count = int(min(float(_np(state[i]["step"])) for i in order))
+    return mu, nu, count

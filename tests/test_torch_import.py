@@ -462,3 +462,80 @@ def test_export_aagcn_loads_strict_and_matches():
     with torch.no_grad():
         y_ref = ref(to_torch(x)).numpy().squeeze(-1)
     np.testing.assert_allclose(y, y_ref, atol=5e-4, rtol=1e-3)
+
+
+# -- optimizer (Adam moment) import -------------------------------------------
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference not mounted")
+def test_import_adam_moments_and_resume():
+    """Weights AND Adam moments from a torch-trained reference checkpoint
+    transfer: moments land on the right stgx leaves with the weight layout
+    transforms, the step count carries over, and a resumed stgx train step
+    runs on the imported state."""
+    from models.stgcn.stgcn import Model as RefModel
+    from stgx.parallel.loop import OptimizerConfig, Trainer
+    from stgx.utils import LOSS
+    from stgx.utils.torch_import import import_reference_optimizer
+
+    arch = {
+        "importance": True, "in_feat": 6, "layers": 2, "kernel": 3,
+        "in_ch": [8, 8], "out_ch": [8, 16], "stride": [1, 2],
+        "residual": [1, 1], "dropout": [0.0, 0.0],
+    }
+    ref = RefModel(
+        strategy="spatial", in_feat=6, num_classes=5,
+        normalization="LayerNorm", graph=_graph_kwargs(),
+        **{"st-gcn": arch},
+    )
+    opt = torch.optim.Adam(ref.parameters(), lr=1e-3)
+    for _ in range(3):
+        x = torch.randn(4, 6, 12, 7)
+        loss = ref(x).square().mean()
+        opt.zero_grad(); loss.backward(); opt.step()
+    ckpt = {
+        "epoch": 5,
+        "model_state_dict": ref.state_dict(),
+        "optimizer_state_dict": opt.state_dict(),
+        "loss": float(loss),
+    }
+
+    model = MODELS["st-gcn"](
+        num_classes=5, in_feat=6, graph=SKEL, kernel=3,
+        in_ch=(8, 8), out_ch=(8, 16), stride=(1, 2), residual=(1, 1),
+        dropout=(0.0, 0.0), normalization="LayerNorm", importance=True,
+    )
+    params = import_reference_state_dict(ckpt, model, "st-gcn")
+    mu, nu, count = import_reference_optimizer(ckpt, model, "st-gcn")
+    assert count == 3
+    _assert_same_tree(mu, params)
+    _assert_same_tree(nu, params)
+    # a moment tensor transforms exactly like its weight: fcn_in conv
+    state = ckpt["optimizer_state_dict"]["state"]
+    keys = [k for k in ckpt["model_state_dict"] if k != "A"]
+    i = keys.index("fcn_in.weight")
+    np.testing.assert_allclose(
+        np.asarray(mu["params"]["fcn_in"]["kernel"]),
+        state[i]["exp_avg"].numpy()[:, :, 0, 0].T,
+    )
+    assert np.all(np.asarray(nu["params"]["fcn_in"]["kernel"]) >= 0)
+
+    trainer = Trainer(
+        model=model, kind="window",
+        loss=LOSS["st-gcn"](np.ones(5, np.float32)),
+        opt=OptimizerConfig(learning_rate=1e-3, batch_size=2, epochs=1),
+        receptive_field=10, bucket=20,
+    )
+    p0, opt_state = trainer.init(np.zeros((4, 10, 7, 6), np.float32))
+    opt_state = trainer.load_adam_moments(
+        opt_state, trainer.place_params(mu), trainer.place_params(nu), count
+    )
+    rng2 = np.random.default_rng(11)
+    trials = [
+        (rng2.normal(size=(20, 7, 6)).astype(np.float32),
+         rng2.integers(0, 5, size=(20,)).astype(np.int64))
+        for _ in range(2)
+    ]
+    params = trainer.place_params(params)
+    params, opt_state, stats = trainer.train_epoch(params, opt_state, trials, 0)
+    assert np.isfinite(stats["ce"])
