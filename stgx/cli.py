@@ -116,13 +116,18 @@ def _build_all(cfg):
     return trainer, train_ds, val_ds, actions, num_classes
 
 
-def maybe_import_torch_checkpoint(cfg, trainer, params, opt_state, log=print):
+def maybe_import_torch_checkpoint(cfg, trainer, params, opt_state, log=print,
+                                  want_optimizer=True):
     """``processor.torch_checkpoint``: initialize from a reference-trained
     PyTorch checkpoint (stgx/utils/torch_import.py) — the no-retrain
     migration path. Re-places the imported host arrays with the trainer's
     mesh layout (TP sharding included), rebuilds the optimizer state (with
     the reference's Adam moments when the checkpoint carries them), and
     returns the saved epoch for resume. No-op when the key is unset.
+
+    Set ``processor.torch_resume`` to ``false`` to import the weights only
+    (fresh optimizer, epoch 0) — e.g. to fine-tune a finished reference run
+    rather than resume it.
 
     Returns ``(params, opt_state, epoch_or_none)``."""
     path = cfg["processor"].get("torch_checkpoint")
@@ -136,14 +141,18 @@ def maybe_import_torch_checkpoint(cfg, trainer, params, opt_state, log=print):
     )
 
     name = cfg["processor"]["model"]
+    resume = cfg["processor"].get("torch_resume", True)
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
     params = trainer.place_params(
         import_reference_state_dict(ckpt, trainer.model, name)
     )
     opt_state = trainer.tx.init(params)
     log(f"imported reference torch checkpoint {path}")
+    if not resume:
+        return params, opt_state, None
     epoch = ckpt.get("epoch") if isinstance(ckpt, dict) else None
-    if isinstance(ckpt, dict) and "optimizer_state_dict" in ckpt:
+    if want_optimizer and isinstance(ckpt, dict) \
+            and "optimizer_state_dict" in ckpt:
         try:
             mu, nu, count = import_reference_optimizer(
                 ckpt, trainer.model, name
@@ -155,7 +164,7 @@ def maybe_import_torch_checkpoint(cfg, trainer, params, opt_state, log=print):
                 count,
             )
             log(f"imported Adam moments (step count {count})")
-        except (ValueError, KeyError) as e:
+        except (ValueError, KeyError, IndexError, TypeError) as e:
             log(f"optimizer state not imported: {e}")
     return params, opt_state, epoch
 
@@ -220,6 +229,13 @@ def cmd_train(cfg):
         # same resume rule as the reference (processor.py:582-587)
         start_epoch = int(torch_epoch) + 1
         log(f"resuming at epoch {start_epoch}")
+        if start_epoch >= trainer.opt.epochs:
+            log(
+                f"WARNING: checkpoint epoch {torch_epoch} >= configured "
+                f"epochs {trainer.opt.epochs}; no epochs will run. Set "
+                "processor.torch_resume=false to fine-tune from epoch 0, "
+                "or raise optimizer.epochs."
+            )
     if cfg["processor"].get("checkpoint"):
         start_epoch, params, opt_state = restore_checkpoint(
             cfg["processor"]["checkpoint"], params, opt_state
@@ -307,7 +323,7 @@ def cmd_test(cfg):
     params, opt_state = trainer.init(sample)
     if cfg["processor"].get("torch_checkpoint"):
         params, opt_state, _ = maybe_import_torch_checkpoint(
-            cfg, trainer, params, opt_state, log
+            cfg, trainer, params, opt_state, log, want_optimizer=False
         )
     else:
         ckpt = cfg["processor"].get("checkpoint") or latest_epoch(out_dir)

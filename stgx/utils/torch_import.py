@@ -421,18 +421,19 @@ def _export_msgcn(params, model):
 
 
 def _export_aagcn(params, model):
+    """aa-gcn export. stgx's edge-importance mask has no reference
+    counterpart, but the layer adjacency is ``A·imp + B + C`` vs the
+    reference's ``A + B + C`` (stgx/models/aagcn.py:48,162), so the mask
+    folds losslessly into the exported free matrix:
+    ``B' = B + A·(imp − 1)``."""
     p = params["params"]
     kind = model.normalization
+    A = _graph_A(model)
     sd = {}
     for s, stream in enumerate(("joint_stream", "bone_stream")):
         sp = p[stream]
-        imp = _np(sp["edge_importance"])
-        if not np.allclose(imp, 1.0):
-            raise ValueError(
-                "aa-gcn export: stgx edge-importance masks are not the "
-                "identity; the reference AA-GCN has no such parameter, so "
-                "these weights cannot be represented losslessly"
-            )
+        imp = (_np(sp["edge_importance"]) if "edge_importance" in sp
+               else None)
         _emit(sd, f"streams.{s}.norm_in",
               _inv_norm(sp[_norm_name(kind, 0)], kind, per_joint_bn=True))
         _emit(sd, f"streams.{s}.fcn_in", _inv_conv1x1(sp["Dense_0"]))
@@ -440,14 +441,17 @@ def _export_aagcn(params, model):
         for i in range(len(model.in_ch)):
             base = f"streams.{s}.gcn_networks.{i}"
             lp = sp[f"AgcnLayer_{i}"]
-            sd[f"{base}.B"] = _np(lp["B"])
+            B = _np(lp["B"])
+            if imp is not None:
+                B = B + A * (imp[i] - 1.0)
+            sd[f"{base}.B"] = B
             _emit(sd, f"{base}.theta", _inv_conv1x1(
                 {"kernel": lp["theta_kernel"], "bias": lp["theta_bias"]}))
             _emit(sd, f"{base}.phi", _inv_conv1x1(
                 {"kernel": lp["phi_kernel"], "bias": lp["phi_bias"]}))
             _export_layer(sd, f"{base}.st_gcn", lp["StgcnLayer_0"], kind,
                           _is_res_conv(model, i), rt=False)
-    sd["A"] = _graph_A(model)
+    sd["A"] = A
     return sd
 
 
@@ -488,18 +492,33 @@ def import_reference_optimizer(checkpoint: dict, model, name: str):
     so the weight layout transforms apply verbatim.
 
     Returns ``(mu, nu, count)``: two pytrees shaped like the stgx params and
-    the (minimum) Adam step count. Not supported for ``ms-gcn`` (its
-    checkpoint splits the model dict, losing the flat parameter order).
+    the (minimum) Adam step count. For ``ms-gcn`` the flat order is
+    reconstructed from the two-part dict (generator params first, then
+    refinement — the registration order of MsGcn.parameters(),
+    msgcn.py:21-23). Caveat: stgx-only params (aa-gcn edge importance) get
+    zero moments but share the imported global step count, so their first
+    few resumed updates skip Adam's bias-correction warmup (bounded by
+    ~(1-β1)/√(1-β2) · lr).
     """
-    if name == "ms-gcn":
-        raise ValueError(
-            "ms-gcn optimizer import is unsupported: the two-part checkpoint "
-            "loses the flat parameter order Adam state is keyed by"
-        )
-    msd = _unwrap(checkpoint["model_state_dict"]
-                  if "model_state_dict" in checkpoint else checkpoint)
+    msd = (checkpoint["model_state_dict"]
+           if "model_state_dict" in checkpoint else checkpoint)
     osd = checkpoint["optimizer_state_dict"]
-    param_keys = [k for k in msd if k != "A"]
+    if name == "ms-gcn":
+        gen = _unwrap(dict(msd["generator_stage"]))
+        param_keys = [f"generator_stage/{k}" for k in gen if k != "A"] + [
+            f"refinement_stages/{k}" for k in msd["refinement_stages"]
+        ]
+
+        def rebuild(fake_flat):
+            two = {"generator_stage": {}, "refinement_stages": {}}
+            for k, v in fake_flat.items():
+                part, sub = k.split("/", 1)
+                two[part][sub] = v
+            return two
+    else:
+        msd = _unwrap(msd)
+        param_keys = [k for k in msd if k != "A"]
+        rebuild = None
     state = osd["state"]
     order = osd["param_groups"][0]["params"]
     if len(order) != len(param_keys):
@@ -512,6 +531,8 @@ def import_reference_optimizer(checkpoint: dict, model, name: str):
         fake_sd = {
             k: state[idx][field] for k, idx in zip(param_keys, order)
         }
+        if rebuild is not None:
+            fake_sd = rebuild(fake_sd)
         tree = IMPORTERS[name](fake_sd, model)
         if name == "aa-gcn":
             # stgx-only param (no reference counterpart): moments start at 0

@@ -539,3 +539,110 @@ def test_import_adam_moments_and_resume():
     params = trainer.place_params(params)
     params, opt_state, stats = trainer.train_epoch(params, opt_state, trials, 0)
     assert np.isfinite(stats["ce"])
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference not mounted")
+def test_import_adam_moments_msgcn_two_part():
+    """ms-gcn Adam state reconstructs the flat parameter order from the
+    two-part checkpoint (generator params first, then refinement)."""
+    from models.msgcn.msgcn import Model as RefMsGcn
+    from stgx.utils.torch_import import import_reference_optimizer
+
+    ref = RefMsGcn(
+        strategy="spatial", in_feat=6, num_classes=5,
+        normalization="LayerNorm", refine="softmax", output_type="logits",
+        graph=_graph_kwargs(), stages=2,
+        **{
+            "st-gcn": {
+                "importance": True, "in_feat": 6, "layers": 2, "kernel": 3,
+                "in_ch": [8, 8], "out_ch": [8, 16], "stride": [1, 1],
+                "residual": [1, 1], "dropout": [0.0, 0.0],
+            },
+            "ms-tcn": {
+                "stages": 2, "filters": [8, 8], "layers": [2, 2],
+                "kernel": [3, 3], "dropout": [0.0, 0.0],
+            },
+        },
+    )
+    opt = torch.optim.Adam(ref.parameters(), lr=1e-3)
+    for p in ref.parameters():
+        p.grad = torch.randn_like(p) * 1e-3
+    opt.step()
+    ckpt = {
+        "epoch": 1,
+        "model_state_dict": {
+            "generator_stage": ref.generator_stage.state_dict(),
+            "refinement_stages": ref.refinement_stages.state_dict(),
+        },
+        "optimizer_state_dict": opt.state_dict(),
+    }
+    model = MODELS["ms-gcn"](
+        num_classes=5, in_feat=6, graph=SKEL, kernel=3,
+        in_ch=(8, 8), out_ch=(8, 16), stride=(1, 1), residual=(1, 1),
+        dropout=(0.0, 0.0), normalization="LayerNorm", stages=2,
+        filters=(8, 8), layers=(2, 2), refine_kernel=(3, 3),
+        refine_dropout=(0.0, 0.0), refine="softmax", output_type="logits",
+    )
+    params = import_reference_state_dict(ckpt, model, "ms-gcn")
+    mu, nu, count = import_reference_optimizer(ckpt, model, "ms-gcn")
+    assert count == 1
+    _assert_same_tree(mu, params)
+    # spot-check: the generator fcn_in moment transformed like its weight
+    state = ckpt["optimizer_state_dict"]["state"]
+    gen_keys = [k for k in ckpt["model_state_dict"]["generator_stage"]
+                if k != "A"]
+    i = gen_keys.index("fcn_in.weight")
+    np.testing.assert_allclose(
+        np.asarray(mu["params"]["Stgcn_0"]["fcn_in"]["kernel"]),
+        state[i]["exp_avg"].numpy()[:, :, 0, 0].T,
+    )
+    # and a refinement-stage moment (offset by the generator's param count)
+    j = len(gen_keys) + list(
+        ckpt["model_state_dict"]["refinement_stages"]
+    ).index("0.conv_in.weight")
+    np.testing.assert_allclose(
+        np.asarray(mu["params"]["SingleStage_0"]["Dense_0"]["kernel"]),
+        state[j]["exp_avg"].numpy()[:, :, 0, 0].T,
+    )
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference not mounted")
+def test_export_aagcn_trained_importance_folds_into_B():
+    """A trained (non-identity) stgx edge-importance mask exports losslessly
+    by folding into the reference's free B matrix: A·imp + B = A + B'."""
+    from models.aagcn.aagcn import Model as RefAagcn
+    from stgx.utils.torch_import import export_reference_state_dict
+
+    arch = {
+        "in_feat": 6, "layers": 2, "kernel": 3, "in_ch": [8, 8],
+        "out_ch": [8, 16], "stride": [1, 1], "residual": [1, 1],
+        "dropout": [0.0, 0.0],
+    }
+    model = MODELS["aa-gcn"](
+        num_classes=5, in_feat=6, graph=SKEL, kernel=3,
+        in_ch=(8, 8), out_ch=(8, 16), stride=(1, 1), residual=(1, 1),
+        dropout=(0.0, 0.0), normalization="LayerNorm",
+        output_type="logits",
+    )
+    params = model.init(jax.random.PRNGKey(8), jnp.zeros((2, 12, 7, 6)))
+    # perturb the importance masks away from the identity
+    rng = np.random.default_rng(9)
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: leaf + 0.2 * jnp.asarray(
+            rng.normal(size=leaf.shape).astype(np.float32)
+        ) if "edge_importance" in jax.tree_util.keystr(path) else leaf,
+        params,
+    )
+    sd = export_reference_state_dict(params, model, "aa-gcn")
+    ref = RefAagcn(
+        strategy="spatial", in_feat=6, num_classes=5,
+        normalization="LayerNorm", output_type="logits",
+        graph=_graph_kwargs(), **{"aa-gcn": arch},
+    ).eval()
+    ref.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()},
+                        strict=True)
+    x = RNG.normal(size=(2, 12, 7, 6)).astype(np.float32)
+    y = np.asarray(model.apply(params, jnp.asarray(x)))
+    with torch.no_grad():
+        y_ref = ref(to_torch(x)).numpy().squeeze(-1)
+    np.testing.assert_allclose(y, y_ref, atol=5e-4, rtol=1e-3)
