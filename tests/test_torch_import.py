@@ -646,3 +646,81 @@ def test_export_aagcn_trained_importance_folds_into_B():
     with torch.no_grad():
         y_ref = ref(to_torch(x)).numpy().squeeze(-1)
     np.testing.assert_allclose(y, y_ref, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference not mounted")
+def test_torch_resume_false_imports_weights_only(tmp_path):
+    """processor.torch_resume=false takes the weights but not the epoch or
+    Adam moments (fine-tune-from-scratch semantics)."""
+    from models.stgcn.stgcn import Model as RefModel
+    from stgx.cli import maybe_import_torch_checkpoint
+    from stgx.parallel.loop import OptimizerConfig, Trainer
+    from stgx.utils import LOSS
+
+    arch = {
+        "importance": True, "in_feat": 6, "layers": 2, "kernel": 3,
+        "in_ch": [8, 8], "out_ch": [8, 8], "stride": [1, 1],
+        "residual": [1, 1], "dropout": [0.0, 0.0],
+    }
+    ref = RefModel(
+        strategy="spatial", in_feat=6, num_classes=5,
+        normalization="LayerNorm", graph=_graph_kwargs(),
+        **{"st-gcn": arch},
+    )
+    opt = torch.optim.Adam(ref.parameters())
+    for p in ref.parameters():
+        p.grad = torch.randn_like(p)
+    opt.step()
+    path = str(tmp_path / "ref.pt")
+    torch.save({"epoch": 99, "model_state_dict": ref.state_dict(),
+                "optimizer_state_dict": opt.state_dict()}, path)
+
+    model = MODELS["st-gcn"](
+        num_classes=5, in_feat=6, graph=SKEL, kernel=3,
+        in_ch=(8, 8), out_ch=(8, 8), stride=(1, 1), residual=(1, 1),
+        dropout=(0.0, 0.0), normalization="LayerNorm", importance=True,
+    )
+    trainer = Trainer(
+        model=model, kind="window",
+        loss=LOSS["st-gcn"](np.ones(5, np.float32)),
+        opt=OptimizerConfig(), receptive_field=10, bucket=20,
+    )
+    p0, s0 = trainer.init(np.zeros((4, 10, 7, 6), np.float32))
+    logs = []
+    cfg = {"processor": {"torch_checkpoint": path, "torch_resume": False,
+                         "model": "st-gcn"}}
+    params, opt_state, epoch = maybe_import_torch_checkpoint(
+        cfg, trainer, p0, s0, log=logs.append
+    )
+    assert epoch is None  # no resume
+    # weights came from the checkpoint...
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["fcn_in"]["kernel"]),
+        ref.fcn_in.weight.detach().numpy()[:, :, 0, 0].T,
+    )
+    # ...but the Adam moments are fresh zeros
+    import optax
+
+    def find_adam(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return s
+        if isinstance(s, tuple):
+            for v in s:
+                r = find_adam(v)
+                if r is not None:
+                    return r
+        return None
+
+    adam = find_adam(opt_state)
+    assert int(adam.count) == 0
+    assert all(float(jnp.abs(l).max()) == 0.0
+               for l in jax.tree.leaves(adam.mu))
+
+    # default (resume) path returns the epoch and imports moments
+    cfg["processor"]["torch_resume"] = True
+    _, opt_state2, epoch2 = maybe_import_torch_checkpoint(
+        cfg, trainer, p0, s0, log=logs.append
+    )
+    assert epoch2 == 99
+    adam2 = find_adam(opt_state2)
+    assert int(adam2.count) == 1
