@@ -117,8 +117,15 @@ def test_stgcn_golden_vs_reference_model(normalization):
 
 
 @pytest.mark.skipif(not HAVE_REF, reason="reference not mounted")
-def test_mstcn_golden_vs_reference_model():
+def test_mstcn_golden_vs_reference_model(monkeypatch):
     from models.mstcn.mstcn import Model as RefMsTcn
+
+    # §5.9 bitrot workaround: the reference forward does
+    # `device = x.get_device()` then `torch.zeros(..., device=device)`
+    # (/root/reference/models/mstcn/mstcn.py:50-53), which breaks on CPU
+    # where get_device() returns -1. Patch get_device to hand back the real
+    # torch.device so the committed reference math executes unchanged.
+    monkeypatch.setattr(torch.Tensor, "get_device", lambda self: self.device)
 
     model = MODELS["ms-tcn"](
         num_classes=5, in_feat=6, stages=2, filters=(8, 8), layers=(3, 3),
@@ -154,13 +161,8 @@ def test_mstcn_golden_vs_reference_model():
     copy_stage(p["SingleStage_1"], ref.refinement_stages[0])
 
     with torch.no_grad():
-        # reference consumes (1, C, L, V) and emits (S, 1, C, L) on CPU
-        # (device=-1 path needs the x.get_device() workaround: use CPU tensor)
-        xt = to_torch(x)
-        try:
-            y_ref = ref(xt).numpy()
-        except (RuntimeError, TypeError):
-            pytest.skip("reference ms-tcn requires CUDA device index")
+        # reference consumes (1, C, L, V) and emits (S, 1, C, L)
+        y_ref = ref(to_torch(x)).numpy()
     np.testing.assert_allclose(
         y[:, 0].transpose(0, 2, 1), y_ref[:, 0], atol=3e-4, rtol=1e-4
     )

@@ -177,8 +177,13 @@ def test_import_rtstgcn_structure_and_values(normalization):
 
 
 @pytest.mark.skipif(not HAVE_REF, reason="reference not mounted")
-def test_import_mstcn_matches_reference_forward():
+def test_import_mstcn_matches_reference_forward(monkeypatch):
     from models.mstcn.mstcn import Model as RefMsTcn
+
+    # §5.9 bitrot workaround: reference mstcn.py:50-53 does
+    # `torch.zeros(..., device=x.get_device())`, broken on CPU (-1); return
+    # the real torch.device so the committed forward executes unchanged
+    monkeypatch.setattr(torch.Tensor, "get_device", lambda self: self.device)
 
     ref = RefMsTcn(
         num_classes=5, refine="softmax", output_type="logits",
@@ -203,10 +208,7 @@ def test_import_mstcn_matches_reference_forward():
     x = RNG.normal(size=(1, 24, 7, 6)).astype(np.float32)
     y = np.asarray(model.apply(params, jnp.asarray(x)))  # (S, 1, L, C)
     with torch.no_grad():
-        try:
-            y_ref = ref(to_torch(x)).numpy()
-        except (RuntimeError, TypeError):
-            pytest.skip("reference ms-tcn requires CUDA device index")
+        y_ref = ref(to_torch(x)).numpy()
     np.testing.assert_allclose(
         y[:, 0].transpose(0, 2, 1), y_ref[:, 0], atol=3e-4, rtol=1e-4
     )
