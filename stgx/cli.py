@@ -33,7 +33,7 @@ def _build_all(cfg):
     from stgx.data import SkeletonDirDataset, class_distribution, load_actions
     from stgx.parallel.loop import MODEL_KIND, OptimizerConfig, Trainer
     from stgx.parallel.mesh import make_mesh
-    from stgx.utils import LOSS
+    from stgx.utils import LOSS, STATISTICS
 
     proc, arch, opt, job = cfg["processor"], cfg["arch"], cfg["optimizer"], cfg["job"]
     if arch.get("gcn_impl"):
@@ -112,6 +112,7 @@ def _build_all(cfg):
         trial_batch=opt.get("trial_batch", 1),
         compute_dtype=opt.get("compute_dtype"),
         pipeline=bool(arch.get("pipeline")),
+        statistics=STATISTICS[name](),
     )
     return trainer, train_ds, val_ds, actions, num_classes
 

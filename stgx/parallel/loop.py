@@ -31,6 +31,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from stgx.parallel.segments import pad_to_bucket, sliding_windows
+from stgx.utils.statistics import Statistics, StatisticsMultiStage
 
 __all__ = ["Trainer", "OptimizerConfig", "MODEL_KIND"]
 
@@ -82,9 +83,17 @@ class Trainer:
     # a mesh whose `model` axis equals stages-1, and zero refinement
     # dropout (the pipelined schedule carries no per-stage rng).
     pipeline: bool = False
+    # top-1/top-5 strategy object (reference STATISTICS registry,
+    # utils/__init__.py:29-38); defaults by model kind when unset
+    statistics: Any = None
     _jit_cache: dict = field(default_factory=dict)
 
     def __post_init__(self):
+        if self.statistics is None:
+            self.statistics = (
+                StatisticsMultiStage() if self.kind.endswith("_ms")
+                else Statistics()
+            )
         if self.pipeline:
             if self.kind != "frame_ms":
                 raise ValueError("pipeline=True needs an ms-tcn-kind model")
@@ -285,14 +294,8 @@ class Trainer:
             lmask = mask[None] if self.kind.startswith("window") else mask
             ly = y[None] if self.kind.startswith("window") else y
             ce, mse = self.loss(out, ly, lmask)
-            frame_logits = out[-1] if self.kind.endswith("_ms") else out
-            top1 = jnp.argmax(frame_logits, axis=-1)
-            k = min(5, frame_logits.shape[-1])
-            _, top5 = jax.lax.top_k(frame_logits, k)
-            m = lmask.astype(bool)
-            c1 = jnp.sum((top1 == ly) & m)
-            c5 = jnp.sum(jnp.any(top5 == ly[..., None], axis=-1) & m)
-            return ce, mse, top1, c1, c5, jnp.sum(m)
+            top1, _, c1, c5, tot = self.statistics(out, ly, lmask)
+            return ce, mse, top1, c1, c5, tot
 
         fn = jax.jit(step)
         self._jit_cache[("eval", shape_key)] = fn
@@ -451,33 +454,37 @@ class Trainer:
     def evaluate(self, params, dataset, metrics=(), num_samples=None,
                  log: Callable[[str], None] | None = None):
         """Full-dataset eval: losses, top1/top5, segmental metrics per trial."""
+        n_visit = len(dataset) if num_samples is None else min(
+            len(dataset), num_samples
+        )
         for m in metrics:
-            m.init_metric(len(dataset))
+            m.init_metric(n_visit)
         c1 = c5 = tot = 0
         ce_sum = mse_sum = 0.0
         t0 = time.time()
-        for i in range(len(dataset)):
-            if num_samples is not None and i >= num_samples:
-                break
+        for i in range(n_visit):
             x, y = dataset[i]
             xd, yd, mask = self._prepare(x, y)
             chunks = self._window_chunks(xd, yd, mask)
             top1_parts = []
+            trial_ce = trial_mse = 0.0
             for cx, cy, cm in chunks:
                 ce, mse, top1, ic1, ic5, itot = self._eval_step(cx.shape)(
                     params, cx, cy, cm
                 )
-                ce_sum += float(ce) / len(chunks)
-                mse_sum += float(mse) / len(chunks)
+                trial_ce += float(ce) / len(chunks)
+                trial_mse += float(mse) / len(chunks)
                 c1 += int(ic1)
                 c5 += int(ic5)
                 tot += int(itot)
                 top1_parts.append(np.asarray(top1).reshape(-1))
+            ce_sum += trial_ce
+            mse_sum += trial_mse
             valid = np.concatenate(top1_parts)[: len(y)]
             for m in metrics:
                 m(np.asarray(y), valid)
             if log:
-                log(f"[trial {i}]: loss = {float(ce) + float(mse):.4f}")
+                log(f"[trial {i}]: loss = {trial_ce + trial_mse:.4f}")
         for m in metrics:
             m.reduce()
         return {

@@ -10,9 +10,16 @@ parts").
 
 API per metric (reference utils/metrics/metric.py:4-46): ``init_metric(n)``
 → per-trial ``__call__(labels, predicted)`` → ``reduce()`` → ``save(dir,
-suffix)`` / ``log()``. ``reduce`` also psums across hosts when run under a
-distributed session (the reference's was a never-implemented stub,
-metric.py:39-40).
+suffix)`` / ``log()``. ``reduce`` implements the cross-process reduction the
+reference left as a stub (metric.py:39-40, called at processor.py:676,816):
+under a multi-process ``jax.distributed`` session each process evaluates its
+own trial shard, and ``reduce`` combines them — per-trial rows are gathered
+across processes before averaging (F1/edit), counts matrices are summed
+(confusion). Single-process sessions reduce locally with no collective.
+
+``reduce`` also only averages the rows actually visited (``trial_id``), so a
+truncated evaluation (``num_samples``) doesn't dilute the mean with
+zero-filled unvisited rows.
 """
 
 from __future__ import annotations
@@ -23,6 +30,45 @@ import os
 import numpy as np
 
 __all__ = ["F1Score", "EditScore", "ConfusionMatrix", "segment_boundaries"]
+
+
+def _gather_trial_rows(rows: np.ndarray, gather=None) -> np.ndarray:
+    """Concatenate per-trial metric rows from every process.
+
+    ``rows`` is this process's ``(num_local_trials, k)`` block; processes may
+    hold different trial counts, so rows are padded to the global max, stacked
+    with a process allgather, and re-trimmed. ``gather`` is injectable for
+    tests; the default is :func:`jax.experimental.multihost_utils
+    .process_allgather` (identity when ``jax.process_count() == 1``).
+    """
+    if gather is None:
+        import jax
+
+        if jax.process_count() == 1:
+            return rows
+        from jax.experimental import multihost_utils
+
+        gather = multihost_utils.process_allgather
+
+    counts = np.asarray(gather(np.asarray([rows.shape[0]]))).reshape(-1)
+    cap = int(counts.max())
+    padded = np.zeros((cap,) + rows.shape[1:], dtype=rows.dtype)
+    padded[: rows.shape[0]] = rows
+    stacked = np.asarray(gather(padded))  # (procs, cap, k)
+    return np.concatenate([stacked[p, : counts[p]] for p in range(len(counts))])
+
+
+def _sum_across_processes(x: np.ndarray, gather=None) -> np.ndarray:
+    """Elementwise sum of an accumulator over every process."""
+    if gather is None:
+        import jax
+
+        if jax.process_count() == 1:
+            return x
+        from jax.experimental import multihost_utils
+
+        gather = multihost_utils.process_allgather
+    return np.asarray(gather(x)).sum(axis=0).astype(x.dtype)
 
 
 def segment_boundaries(seq: np.ndarray):
@@ -54,7 +100,7 @@ class Metric:
     def value(self):
         return self.metric
 
-    def reduce(self):
+    def reduce(self, gather=None):
         return None
 
     def _write_csv(self, path, rows, header=None):
@@ -111,9 +157,13 @@ class F1Score(Metric):
         self.metric[self.trial_id] = f1
         self._advance()
 
-    def reduce(self):
-        # NaN trials (no segments matched) count as 0 (reference f1.py:70-73)
-        self.metric = np.nan_to_num(self.metric).mean(axis=0)
+    def reduce(self, gather=None):
+        # NaN trials (no segments matched) count as 0 (reference f1.py:70-73);
+        # only visited rows count, concatenated across processes
+        rows = _gather_trial_rows(self.metric[: self.trial_id], gather)
+        self.metric = np.nan_to_num(rows).mean(axis=0) if len(rows) else (
+            np.zeros(len(self.overlap), np.float32)
+        )
 
     def save(self, save_dir, suffix=None):
         path = os.path.join(save_dir, f"macro-F1@k{suffix or ''}.csv")
@@ -151,8 +201,9 @@ class EditScore(Metric):
         self.metric[self.trial_id] = 1.0 - D[m, n] / max(m, n)
         self._advance()
 
-    def reduce(self):
-        self.metric = self.metric.mean(axis=0)
+    def reduce(self, gather=None):
+        rows = _gather_trial_rows(self.metric[: self.trial_id], gather)
+        self.metric = rows.mean(axis=0) if len(rows) else np.zeros(1, np.float32)
 
     def save(self, save_dir, suffix=None):
         path = os.path.join(save_dir, f"edit{suffix or ''}.csv")
@@ -175,6 +226,9 @@ class ConfusionMatrix(Metric):
         predicted = np.asarray(predicted).reshape(-1)
         np.add.at(self.metric, (predicted, labels), 1)
         self._advance()
+
+    def reduce(self, gather=None):
+        self.metric = _sum_across_processes(self.metric, gather)
 
     def save(self, save_dir, suffix=None):
         path = os.path.join(save_dir, f"confusion-matrix{suffix or ''}.csv")

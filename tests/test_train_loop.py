@@ -156,3 +156,63 @@ def test_segment_fold_roundtrip():
     )[:, :, 0, :]
     out = fold_segments(chunks, L, gamma)
     np.testing.assert_allclose(np.asarray(out), preds, atol=1e-6)
+
+
+def test_trainer_consumes_statistics_strategy(synth):
+    """The STATISTICS strategy object is the Trainer's top-k path (the
+    reference's registry extension point, utils/__init__.py:29-38) — a
+    custom strategy passed in is what evaluate() actually uses."""
+    from stgx.utils.statistics import Statistics
+
+    class CountingStats(Statistics):
+        calls = 0
+
+        def __call__(self, outputs, labels, mask=None):
+            CountingStats.calls += 1
+            return super().__call__(outputs, labels, mask)
+
+    train, val, dist, ncls = synth
+    model = MODELS["rt-st-gcn"](stride=(1, 1), **_small_arch(ncls))
+    trainer = Trainer(
+        model=model, kind="frame", loss=LOSS["rt-st-gcn"](dist),
+        opt=OptimizerConfig(), bucket=64, statistics=CountingStats(),
+    )
+    x0, _ = train[0]
+    params, _ = trainer.init(x0[None])
+    ev = trainer.evaluate(params, val, num_samples=2)
+    assert CountingStats.calls >= 1  # traced inside the jitted eval step
+    assert 0.0 <= ev["top1"] <= 1.0 and ev["top5"] >= ev["top1"]
+
+
+def test_evaluate_num_samples_metrics_not_diluted(synth):
+    """evaluate(num_samples=k) must average segmental metrics over the k
+    visited trials only (VERDICT weak #6 regression)."""
+    train, val, dist, ncls = synth
+    model = MODELS["rt-st-gcn"](stride=(1, 1), **_small_arch(ncls))
+    trainer = Trainer(
+        model=model, kind="frame", loss=LOSS["rt-st-gcn"](dist),
+        opt=OptimizerConfig(), bucket=64,
+    )
+    x0, _ = train[0]
+    params, _ = trainer.init(x0[None])
+
+    f1_trunc, ed_trunc = F1Score(ncls), EditScore(ncls)
+    trainer.evaluate(params, val, metrics=[f1_trunc, ed_trunc], num_samples=2)
+
+    class First2(type(val)):
+        def __init__(self, base):
+            self._base = base
+
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return self._base[i]
+
+    sub = First2.__new__(First2)
+    sub._base = val
+    f1_full, ed_full = F1Score(ncls), EditScore(ncls)
+    trainer.evaluate(params, sub, metrics=[f1_full, ed_full])
+
+    np.testing.assert_allclose(f1_trunc.value(), f1_full.value(), rtol=1e-6)
+    np.testing.assert_allclose(ed_trunc.value(), ed_full.value(), rtol=1e-6)
