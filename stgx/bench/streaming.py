@@ -162,7 +162,7 @@ def run_streaming_benchmark(cfg) -> int:
     import jax
 
     from stgx.config import build_model
-    from stgx.data import SkeletonDirDataset, load_actions
+    from stgx.data import build_datasets, load_actions
     from stgx.utils.checkpoint import latest_epoch, restore_params
 
     proc = cfg["processor"]
@@ -170,10 +170,9 @@ def run_streaming_benchmark(cfg) -> int:
     out_dir = proc["out"]
     os.makedirs(out_dir, exist_ok=True)
 
-    val = SkeletonDirDataset(
-        os.path.join(proc["data"], "val", "features"),
-        os.path.join(proc["data"], "val", "labels"),
-    )
+    # same dataset construction as train/test — file- and dir-mode configs
+    # both benchmark (reference _build_dataloader, processor.py:61-84)
+    _, val = build_datasets(proc)
     actions = load_actions(proc["actions"])
     model = build_model(cfg, len(actions))
 
@@ -182,10 +181,27 @@ def run_streaming_benchmark(cfg) -> int:
     if proc.get("torch_checkpoint"):
         from stgx.utils.torch_import import load_reference_checkpoint
 
-        params = load_reference_checkpoint(
-            proc["torch_checkpoint"], model, name
-        )
-        print(f"imported reference torch checkpoint {proc['torch_checkpoint']}")
+        try:
+            imported = load_reference_checkpoint(
+                proc["torch_checkpoint"], model, name
+            )
+            # validate the imported tree against init before trusting it —
+            # an arch-mismatched checkpoint otherwise dies deep in apply()
+            got = jax.tree_util.tree_leaves_with_path(imported)
+            want = jax.tree_util.tree_leaves_with_path(params)
+            got_s = {jax.tree_util.keystr(p): np.shape(l) for p, l in got}
+            want_s = {jax.tree_util.keystr(p): np.shape(l) for p, l in want}
+            if got_s != want_s:
+                missing = sorted(set(want_s) ^ set(got_s))[:4]
+                raise ValueError(
+                    f"checkpoint tree mismatches the model arch (e.g. {missing})"
+                )
+            params = imported
+            print(
+                f"imported reference torch checkpoint {proc['torch_checkpoint']}"
+            )
+        except Exception as e:  # benchmark still runs with random weights
+            print(f"torch checkpoint import failed ({e}); benchmarking random init")
     else:
         ckpt = proc.get("checkpoint") or latest_epoch(out_dir)
         if ckpt and os.path.isdir(ckpt):

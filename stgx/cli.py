@@ -166,7 +166,15 @@ def maybe_import_torch_checkpoint(cfg, trainer, params, opt_state, log=print,
             )
             log(f"imported Adam moments (step count {count})")
         except (ValueError, KeyError, IndexError, TypeError) as e:
-            log(f"optimizer state not imported: {e}")
+            # resuming at epoch+1 (decayed LR) with zeroed moments would be
+            # neither the reference's exact resume nor a clean fine-tune —
+            # fall back to weights-only semantics (epoch 0, fresh optimizer)
+            log(
+                f"optimizer state not imported ({e}); falling back to "
+                "weights-only import (epoch 0, fresh optimizer — "
+                "torch_resume=false semantics)"
+            )
+            return params, opt_state, None
     return params, opt_state, epoch
 
 

@@ -135,6 +135,12 @@ class Trainer:
         params = jax.tree.map(jnp.asarray, params)
         if self.mesh is None:
             return params
+        if self.pipeline:
+            # the `model` axis is the STAGE axis here; stage-sharding happens
+            # inside pipeline_apply's shard_map. Keeping leaves replicated
+            # makes that reshard a local slice each step — TP channel
+            # sharding would force a per-step all-to-all instead.
+            return jax.device_put(params, NamedSharding(self.mesh, P()))
         if self.mesh.shape.get("model", 1) > 1:
             # tensor parallelism: output channels sharded over `model`;
             # optimizer state built from these inherits the layout

@@ -98,6 +98,15 @@ def pipeline_apply(
     ticks = S + M - 1
     perm = [(i, i + 1) for i in range(S - 1)]
 
+    # dp × pp composition: shard the microbatch-sample dim over `data` so
+    # each data row refines its own slice instead of recomputing the whole
+    # batch (the replication cost flagged in round-1 review); falls back to
+    # replication when the microbatch doesn't divide over the data axis
+    dp = mesh.shape.get("data", 1)
+    shard_data = dp > 1 and (N // M) % dp == 0
+    in_spec_y = P(None, "data") if shard_data else P()
+    out_spec = P(axis, None, "data") if shard_data else P(axis)
+
     def run(p_local, y_all):
         # p_local leaves are (1, ...) — this device's single stage
         p = jax.tree.map(lambda a: jnp.squeeze(a, 0), p_local)
@@ -128,8 +137,8 @@ def pipeline_apply(
     outs = shard_map(
         run,
         mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(axis),
+        in_specs=(P(axis), in_spec_y),
+        out_specs=out_spec,
         check_rep=False,
     )(stacked_params, y_mb)
     return outs.reshape(outs.shape[0], N, *y.shape[1:])
