@@ -31,7 +31,12 @@ def _build_all(cfg):
 
     from stgx.config import build_model
     from stgx.data import SkeletonDirDataset, class_distribution, load_actions
-    from stgx.parallel.loop import MODEL_KIND, OptimizerConfig, Trainer
+    from stgx.parallel.loop import (
+        MODEL_EPOCH_ARG,
+        MODEL_KIND,
+        OptimizerConfig,
+        Trainer,
+    )
     from stgx.parallel.mesh import make_mesh
     from stgx.utils import LOSS, STATISTICS
 
@@ -113,8 +118,30 @@ def _build_all(cfg):
         compute_dtype=opt.get("compute_dtype"),
         pipeline=bool(arch.get("pipeline")),
         statistics=STATISTICS[name](),
+        pass_epoch=name in MODEL_EPOCH_ARG,
     )
     return trainer, train_ds, val_ds, actions, num_classes
+
+
+def maybe_graft_teacher(cfg, trainer, params, log=print):
+    """``arch["shift-gcn++"]["teacher_checkpoint"]``: load a trained teacher
+    (an orbax checkpoint from a ``shift-gcn++-teacher`` train run) into the
+    distillation wrapper's ``params["teacher"]`` subtree — the stgx
+    counterpart of the reference's ``torch.load(teacher_model)`` +
+    ``t_net.load_state_dict`` (/root/reference/models/shiftgcn_plus/
+    shiftgcn_plus.py:595-607). No-op when the key is unset or the model is
+    not the distillation wrapper."""
+    sub = cfg["arch"].get("shift-gcn++", {})
+    path = sub.get("teacher_checkpoint")
+    if not path or cfg["processor"]["model"] != "shift-gcn++":
+        return params
+    from stgx.models.shiftgcn_plus import graft_teacher_params
+    from stgx.utils.checkpoint import restore_params
+
+    teacher = restore_params(path, {"params": params["params"]["teacher"]})
+    params = trainer.place_params(graft_teacher_params(params, teacher))
+    log(f"grafted trained teacher from {path}")
+    return params
 
 
 def maybe_import_torch_checkpoint(cfg, trainer, params, opt_state, log=print,
@@ -230,6 +257,7 @@ def cmd_train(cfg):
         )
     )
     params, opt_state = trainer.init(sample)
+    params = maybe_graft_teacher(cfg, trainer, params, log)
     params, opt_state, torch_epoch = maybe_import_torch_checkpoint(
         cfg, trainer, params, opt_state, log
     )
@@ -330,6 +358,7 @@ def cmd_test(cfg):
         )
     )
     params, opt_state = trainer.init(sample)
+    params = maybe_graft_teacher(cfg, trainer, params, log)
     if cfg["processor"].get("torch_checkpoint"):
         params, opt_state, _ = maybe_import_torch_checkpoint(
             cfg, trainer, params, opt_state, log, want_optimizer=False

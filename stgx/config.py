@@ -207,4 +207,7 @@ def build_model(cfg: dict, num_classes: int):
         sub = arch.get("shift-gcn++", {})
         return MODELS[name](c_mul=sub.get("c_mul", 4), **common)
 
+    if name == "shift-gcn++-teacher":
+        return MODELS[name](**common)
+
     raise ValueError(f"unknown model: {name!r} (have {sorted(MODELS)})")

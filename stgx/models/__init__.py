@@ -12,7 +12,7 @@ from stgx.models.aagcn import AaGcn
 from stgx.models.mstcn import MsTcn
 from stgx.models.msgcn import MsGcn
 from stgx.models.shiftgcn import ShiftGcn
-from stgx.models.shiftgcn_plus import ShiftGcnPlus
+from stgx.models.shiftgcn_plus import ShiftGcnPlus, ShiftGcnPlusTeacher
 
 MODELS = {
     "st-gcn": Stgcn,
@@ -23,9 +23,14 @@ MODELS = {
     "aa-gcn": AaGcn,
     "shift-gcn": ShiftGcn,
     "shift-gcn++": ShiftGcnPlus,
+    # the distillation teacher, trainable standalone — a shift-gcn++ run
+    # points arch["shift-gcn++"]["teacher_checkpoint"] at its output (the
+    # reference trains the teacher separately and loads it,
+    # shiftgcn_plus.py:595-607)
+    "shift-gcn++-teacher": ShiftGcnPlusTeacher,
 }
 
 __all__ = [
     "MODELS", "Stgcn", "RtStgcn", "CoStgcn", "AaGcn", "MsTcn", "MsGcn",
-    "ShiftGcn", "ShiftGcnPlus",
+    "ShiftGcn", "ShiftGcnPlus", "ShiftGcnPlusTeacher",
 ]

@@ -42,7 +42,41 @@ __all__ = [
     "ShiftGcnPlus",
     "distillation_loss",
     "margin_from_norm_params",
+    "graft_teacher_params",
 ]
+
+
+def graft_teacher_params(wrapper_vars, teacher_vars):
+    """Load a trained teacher into a :class:`ShiftGcnPlus` variable tree.
+
+    ``teacher_vars`` is a standalone :class:`ShiftGcnPlusTeacher` variable
+    dict (e.g. restored from an orbax checkpoint of a ``shift-gcn++-teacher``
+    run); its params replace ``wrapper_vars["params"]["teacher"]``. The stgx
+    counterpart of the reference's teacher ``load_state_dict``
+    (shiftgcn_plus.py:595-607) — including its tolerance for missing keys
+    (the trees must match here; a structure mismatch raises).
+    """
+    import jax
+
+    t_new = teacher_vars["params"] if "params" in teacher_vars else teacher_vars
+    t_old = wrapper_vars["params"]["teacher"]
+    if jax.tree.structure(t_new) != jax.tree.structure(t_old):
+        raise ValueError(
+            "teacher checkpoint does not match the wrapper's teacher "
+            "architecture (param tree structure differs)"
+        )
+    def graft_leaf(old, new):
+        if jnp.shape(new) != old.shape:
+            raise ValueError(
+                f"teacher leaf shape mismatch: {old.shape} vs {jnp.shape(new)}"
+            )
+        return jnp.asarray(new, old.dtype)
+
+    params = dict(wrapper_vars["params"])
+    params["teacher"] = jax.tree.map(graft_leaf, t_old, t_new)
+    out = dict(wrapper_vars)
+    out["params"] = params
+    return out
 
 
 class DySEGate(nn.Module):
@@ -386,25 +420,26 @@ class ShiftGcnPlusStudent(nn.Module):
 def margin_from_norm_params(scale, bias):
     """Margin per channel from the teacher's pre-ReLU norm affine params —
     the expected value of the negative part of N(bias, scale²) (reference
-    ``get_margin_from_BN``, shiftgcn_plus.py:561-573)."""
-    from scipy.stats import norm as _norm
+    ``get_margin_from_BN``, shiftgcn_plus.py:561-573).
 
-    s = np.abs(np.asarray(scale, dtype=np.float64))
-    m = np.asarray(bias, dtype=np.float64)
-    out = np.empty_like(m)
-    for i in range(m.size):
-        cdf = _norm.cdf(-m[i] / max(s[i], 1e-12))
-        if cdf > 1e-3:
-            out[i] = (
-                -s[i]
-                * math.exp(-((m[i] / max(s[i], 1e-12)) ** 2) / 2.0)
-                / math.sqrt(2 * math.pi)
-                / cdf
-                + m[i]
-            )
-        else:
-            out[i] = -3.0 * s[i]
-    return jnp.asarray(out, dtype=jnp.float32)
+    JAX-traceable (vectorized) so the wrapper can compute margins in-graph
+    from whatever teacher params are currently loaded; preserves the input
+    shape (``(C,)`` for BatchNorm affines, ``(V, C)`` for LayerNorm)."""
+    from jax.scipy.stats import norm as _norm
+
+    s = jnp.maximum(jnp.abs(jnp.asarray(scale, jnp.float32)), 1e-12)
+    m = jnp.asarray(bias, jnp.float32)
+    cdf = _norm.cdf(-m / s)
+    val = (
+        -s
+        * jnp.exp(-((m / s) ** 2) / 2.0)
+        / math.sqrt(2.0 * math.pi)
+        / jnp.maximum(cdf, 1e-12)
+        + m
+    )
+    # the reference floors the margin at -3σ when essentially no mass is
+    # negative (cdf <= 1e-3)
+    return jnp.where(cdf > 1e-3, val, -3.0 * s)
 
 
 def distillation_loss(source, target, margin):
@@ -421,9 +456,27 @@ def distillation_loss(source, target, margin):
 class ShiftGcnPlus(nn.Module):
     """Distillation wrapper: student trained under a frozen teacher.
 
-    ``__call__(x, epoch)`` returns ``(student_logits, distill_loss)``; pass
-    the trained teacher's variables via ``teacher_params`` at apply time
-    (the reference loads a teacher checkpoint, shiftgcn_plus.py:595-607).
+    ``__call__(x, epoch)`` returns ``(student_logits, distill_loss)``. The
+    teacher's weights live under ``params["teacher"]``; load a trained
+    teacher by grafting its checkpointed params there
+    (:func:`graft_teacher_params`, CLI knob
+    ``arch["shift-gcn++"]["teacher_checkpoint"]``) — the stgx counterpart of
+    the reference's ``torch.load(teacher_model)`` +
+    ``t_net.load_state_dict`` (shiftgcn_plus.py:595-607).
+
+    Margins are computed in-graph from the (loaded) teacher's pre-ReLU
+    tap-norm affine params via :func:`margin_from_norm_params` (reference
+    ``get_margin_from_BN`` over ``get_bn_before_relu``,
+    shiftgcn_plus.py:561-573,221-226,588-591). Deviation note: the reference
+    computes margins at construction time *before* loading the teacher
+    checkpoint (shiftgcn_plus.py:588-597 ordering), so they reflect init
+    BN affines (all ≈ -0.7979); stgx implements the documented intent —
+    margins from the trained teacher — by deriving them from the live
+    teacher params each apply.
+
+    Teacher gradients are exactly zero: the distill targets are
+    stop-gradiented and the teacher logits are discarded (reference
+    ``t_feats[i].detach()``, shiftgcn_plus.py:605).
     """
 
     num_classes: int
@@ -461,6 +514,25 @@ class ShiftGcnPlus(nn.Module):
             make_norm(self.normalization, t, g.num_node) for t in t_ch
         ]
 
+    def _margins(self):
+        """Per-stage margins from the teacher's pre-ReLU tap-norm affines
+        (the final norm of each tap unit's temporal shift — the analogue of
+        ``l{4,7,10}.tcn1.bn2``, reference shiftgcn_plus.py:221-226).
+        Constants w.r.t. the optimization (stop-gradiented), shaped to
+        broadcast over ``(N, L, V, C)``."""
+        tparams = self.teacher.variables["params"]
+        norm_name = f"{self.normalization}_1"
+        margins = []
+        for u in self.teacher.feature_taps():
+            nrm = tparams[f"units_{u}"]["TeacherTemporalShift_0"][norm_name]
+            m = margin_from_norm_params(nrm["scale"], nrm["bias"])
+            if m.ndim == 1:  # BatchNorm affine (C,)
+                m = m[None, None, None, :]
+            else:  # LayerNorm affine (V, C)
+                m = m[None, None, :, :]
+            margins.append(jax.lax.stop_gradient(m))
+        return margins
+
     def __call__(self, x, epoch=100, *, train: bool = False, mask=None):
         t_feats, _ = self.teacher(
             jax.lax.stop_gradient(x), train=False, extract_features=True
@@ -468,16 +540,14 @@ class ShiftGcnPlus(nn.Module):
         s_feats, s_out = self.student(
             x, epoch, train=train, extract_features=True
         )
+        margins = self._margins()
+        self.sow("intermediates", "margins", tuple(margins))
         n_stages = len(t_feats)
         loss = 0.0
         for i in range(n_stages):
             sf = self.connector_norms[i](self.connectors[i](s_feats[i]))
             tf = jax.lax.stop_gradient(t_feats[i])
-            # margins from the teacher's tap-norm affine params are a
-            # function of trained teacher weights; at apply time they are
-            # constants w.r.t. the student — approximated online here
-            margin = jnp.zeros((1, 1, 1, tf.shape[-1]), tf.dtype)
-            loss = loss + distillation_loss(sf, tf, margin) / 2 ** (
-                n_stages - i - 1
-            )
+            loss = loss + distillation_loss(
+                sf, tf, margins[i].astype(tf.dtype)
+            ) / 2 ** (n_stages - i - 1)
         return s_out, loss

@@ -33,7 +33,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from stgx.parallel.segments import pad_to_bucket, sliding_windows
 from stgx.utils.statistics import Statistics, StatisticsMultiStage
 
-__all__ = ["Trainer", "OptimizerConfig", "MODEL_KIND"]
+__all__ = ["Trainer", "OptimizerConfig", "MODEL_KIND", "MODEL_EPOCH_ARG"]
 
 # how each model family consumes a trial and emits per-frame predictions
 MODEL_KIND = {
@@ -41,11 +41,17 @@ MODEL_KIND = {
     "aa-gcn": "window",
     "shift-gcn": "window",
     "shift-gcn++": "window",
+    "shift-gcn++-teacher": "window",
     "co-st-gcn": "frame",
     "rt-st-gcn": "frame",
     "ms-tcn": "frame_ms",
     "ms-gcn": "window_ms",
 }
+
+# models whose forward takes the epoch index (the shift-gcn++ student's
+# DY-SE expert gate anneals its softmax temperature 30 → 1 over 60 epochs,
+# reference shiftgcn_plus.py:264-288,518-529)
+MODEL_EPOCH_ARG = frozenset({"shift-gcn++"})
 
 
 @dataclass
@@ -86,6 +92,9 @@ class Trainer:
     # top-1/top-5 strategy object (reference STATISTICS registry,
     # utils/__init__.py:29-38); defaults by model kind when unset
     statistics: Any = None
+    # pass the epoch index as the model's second positional arg (the
+    # shift-gcn++ DY-SE temperature schedule; see MODEL_EPOCH_ARG)
+    pass_epoch: bool = False
     _jit_cache: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -205,12 +214,18 @@ class Trainer:
             axes[1] = "seq"
         return jax.device_put(x, NamedSharding(self.mesh, P(*axes)))
 
-    def _frame_outputs(self, params, x, mask, train, rngs=None):
+    def _frame_outputs(self, params, x, mask, train, rngs=None, epoch=None):
         """Per-frame predictions for loss: ((N, L, C) or (S, N, L, C), aux).
 
         ``aux`` is an auxiliary scalar loss some models emit alongside their
         logits (the shift-gcn++ distillation wrapper); zero otherwise.
+        ``epoch`` feeds epoch-conditioned models (``pass_epoch``); ``None``
+        means post-anneal (τ = 1) — the eval-time setting.
         """
+        eargs = ()
+        if self.pass_epoch:
+            eargs = (jnp.asarray(100.0 if epoch is None else epoch,
+                                 jnp.float32),)
         if self.kind in ("frame", "frame_ms"):
             if self.pipeline:
                 from stgx.parallel.pipeline import mstcn_apply_pipelined
@@ -220,14 +235,16 @@ class Trainer:
                 out = mstcn_apply_pipelined(self.model, params, x, self.mesh)
             else:
                 out = self.model.apply(
-                    params, x, train=train, mask=mask, rngs=rngs
+                    params, x, *eargs, train=train, mask=mask, rngs=rngs
                 )
         else:
             # window models: x is already a window tensor (B, W, V, C) whose
             # batch dim is time; predictions form the series (1, B, C).
             # A fully-padded window is masked out of batch-norm statistics.
             wmask = jnp.broadcast_to(mask[:, None], (x.shape[0], x.shape[1]))
-            out = self.model.apply(params, x, train=train, mask=wmask, rngs=rngs)
+            out = self.model.apply(
+                params, x, *eargs, train=train, mask=wmask, rngs=rngs
+            )
         aux = 0.0
         if isinstance(out, tuple):
             out, aux = out
@@ -241,11 +258,11 @@ class Trainer:
         if ("gradb", shape_key) in self._jit_cache:
             return self._jit_cache[("gradb", shape_key)]
 
-        def step(params, x, y, mask, divisors, rng):
+        def step(params, x, y, mask, divisors, rng, epoch):
             def loss_fn(p):
                 out, _ = self._frame_outputs(
                     self._cast_compute(p), self._cast_compute(x), mask,
-                    train=True, rngs={"dropout": rng},
+                    train=True, rngs={"dropout": rng}, epoch=epoch,
                 )
                 out = out.astype(jnp.float32)
                 ce_v, mse_v = self.loss(out, y, mask, per_sample=True)
@@ -265,12 +282,12 @@ class Trainer:
         if ("grad", shape_key) in self._jit_cache:
             return self._jit_cache[("grad", shape_key)]
 
-        def step(params, x, y, mask, divisor, rng):
+        def step(params, x, y, mask, divisor, rng, epoch):
             def loss_fn(p):
                 rngs = {"dropout": rng}
                 out, aux = self._frame_outputs(
                     self._cast_compute(p), self._cast_compute(x), mask,
-                    train=True, rngs=rngs,
+                    train=True, rngs=rngs, epoch=epoch,
                 )
                 out = out.astype(jnp.float32)
                 lmask = mask[None] if self.kind.startswith("window") else mask
@@ -341,7 +358,7 @@ class Trainer:
 
     # -- epoch loops -----------------------------------------------------------
 
-    def _batched_epoch(self, params, opt_state, dataset, rng, log):
+    def _batched_epoch(self, params, opt_state, dataset, rng, log, epoch=0):
         """Frame-kind epoch with same-bucket trials stacked per device step."""
         n = len(dataset)
         bs = self.opt.batch_size
@@ -382,7 +399,8 @@ class Trainer:
             )
             rng, sub = jax.random.split(rng)
             grads, ce, mse = self._grad_step_batched(xb.shape)(
-                params, xb, yb, mb, div, sub
+                params, xb, yb, mb, div, sub,
+                jnp.asarray(epoch, jnp.float32),
             )
             accum = (
                 grads if accum is None else jax.tree.map(jnp.add, accum, grads)
@@ -412,7 +430,9 @@ class Trainer:
             self.opt.seed + 1000 + epoch
         )
         if self.trial_batch > 1 and self.kind in ("frame", "frame_ms"):
-            return self._batched_epoch(params, opt_state, dataset, rng, log)
+            return self._batched_epoch(
+                params, opt_state, dataset, rng, log, epoch
+            )
         n = len(dataset)
         bs = self.opt.batch_size
         ragged = n % bs
@@ -433,7 +453,8 @@ class Trainer:
                 # per-chunk loss divided by the chunk count, reproducing the
                 # reference's ce/num_subsegments (processor.py:392,532-543)
                 grads, ce, mse = self._grad_step(cx.shape)(
-                    params, cx, cy, cm, divisor * len(chunks), sub
+                    params, cx, cy, cm, divisor * len(chunks), sub,
+                    jnp.asarray(epoch, jnp.float32),
                 )
                 accum = (
                     grads

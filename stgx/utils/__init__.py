@@ -17,6 +17,7 @@ LOSS = {
     "aa-gcn": Loss,
     "shift-gcn": Loss,
     "shift-gcn++": Loss,
+    "shift-gcn++-teacher": Loss,
 }
 
 STATISTICS = {
@@ -28,6 +29,7 @@ STATISTICS = {
     "aa-gcn": Statistics,
     "shift-gcn": Statistics,
     "shift-gcn++": Statistics,
+    "shift-gcn++-teacher": Statistics,
 }
 
 __all__ = ["LOSS", "STATISTICS", "Loss", "LossMultiStage", "Statistics",
