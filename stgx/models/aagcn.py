@@ -175,6 +175,9 @@ class _Stream(nn.Module):
                 x = _remat.gcn_layer(layer, x, A, mask)
             else:
                 x = layer(x, A, train=train, mask=mask)
+            if mask is not None:
+                # strided layers shorten the frame axis (see StgcnLayer)
+                mask = mask[:, :: self.stride[i]]
         x = jnp.mean(x, axis=(1, 2))
         return nn.Dense(
             self.num_classes,

@@ -112,6 +112,9 @@ class StgcnLayer(nn.Module):
         identity_res = (
             self.in_channels == self.out_channels and self.stride == 1
         )
+        # a strided layer shortens the frame axis; norms past the stride see
+        # the decimated mask (the pre-stride mask keeps the gcn norm exact)
+        smask = mask[:, :: self.stride] if mask is not None else None
         if not self.residual:
             res = 0.0
         elif identity_res:
@@ -130,7 +133,7 @@ class StgcnLayer(nn.Module):
             )
             res = make_norm(
                 self.normalization, self.out_channels, self.num_joints
-            )(res, mask=mask)
+            )(res, mask=smask)
 
         x = GraphConv(self.in_channels, self.out_channels, self.partitions)(x, A)
         x = make_norm(self.normalization, self.out_channels, self.num_joints)(
@@ -149,7 +152,7 @@ class StgcnLayer(nn.Module):
         )
         x = temporal_conv(x, tw, tb, stride=self.stride, dilation=self.dilation)
         x = make_norm(self.normalization, self.out_channels, self.num_joints)(
-            x, mask=mask
+            x, mask=smask
         )
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -222,5 +225,7 @@ class Stgcn(nn.Module):
                 x = _remat.gcn_layer(layer, x, A, mask)
             else:
                 x = layer(x, A, train=train, mask=mask)
+            if mask is not None:
+                mask = mask[:, :: self.stride[i]]
         x = jnp.mean(x, axis=(1, 2))  # global (L, V) pool
         return self.fcn_out(x)
