@@ -31,8 +31,11 @@ __all__ = [
     "quantize_weight",
     "int8_matmul",
     "quantize_rtstgcn",
+    "quantize_costgcn",
     "quantized_stream_step",
+    "quantized_costgcn_stream_step",
     "quantized_size_bytes",
+    "QUANT_MODELS",
 ]
 
 
@@ -153,6 +156,156 @@ def init_quant_stream_state(model, batch=1, dtype=jnp.float32):
         )
         for i in range(len(model.in_ch))
     ]
+
+
+# -- CoST-GCN ------------------------------------------------------------------
+# The reference's FX quant flow is model-generic (processor.py:905-931) and its
+# published table includes CoST-GCN int8 latency (README.md:269-270); the
+# continual CoST-GCN cell quantizes the same way as RT-ST-GCN plus one extra
+# matmul family: the Γ-tap dilated temporal kernel, contracted as a single
+# (Γ·C, C) int8 matmul over the FIFO taps.
+
+
+def quantize_costgcn(model, params):
+    """Quantize every matmul weight of a CoStgcn param tree (streaming form).
+
+    The temporal kernel is stored pre-flipped (the streaming cell applies the
+    time-reversed kernel to its FIFO, stgx/models/costgcn.py:248-255) and
+    reshaped ``(Γ·C, C)`` so the tap contraction is one int8 MXU matmul.
+    """
+    p = params["params"]
+    g = Graph(strategy=model.strategy, **model.graph)
+    A0 = jnp.asarray(g.A, dtype=jnp.float32)
+
+    q = {"norm_in": p["norm_in"], "layers": []}
+    q["fcn_in"] = (*quantize_weight(p["fcn_in"]["kernel"]), p["fcn_in"]["bias"])
+    for i in range(len(model.in_ch)):
+        lp = p[f"layers_{i}"]
+        A = A0 * p["edge_importance"][i] if model.importance else A0
+        gw = lp["GraphConv_0"]["kernel"]  # (P, Cin, Cout)
+        wq, sw = quantize_weight(gw.reshape(gw.shape[0] * gw.shape[1], -1))
+        tw = jnp.flip(lp["tcn_kernel"], axis=0)  # (Γ, C, C), tap-order
+        layer = {
+            "A": A,
+            "gcn": (wq, sw, lp["GraphConv_0"]["bias"]),
+            "tcn": (*quantize_weight(tw.reshape(-1, tw.shape[-1])),
+                    lp["tcn_bias"]),
+            "norms": {
+                k: lp[k]
+                for k in lp
+                if k.startswith(("LayerNorm", "BatchNorm"))
+            },
+        }
+        if "res_kernel" in lp:
+            layer["res"] = (*quantize_weight(lp["res_kernel"]),
+                            lp["res_bias"])
+        q["layers"].append(layer)
+    q["fcn_out"] = (*quantize_weight(p["fcn_out"]["kernel"]), p["fcn_out"]["bias"])
+    return q
+
+
+def quantized_costgcn_stream_step(model, qparams, state, x_t):
+    """One frame through the int8 CoST-GCN streaming cell (same math as
+    ``costgcn.stream_step`` with int8 matmuls; state from
+    ``costgcn.init_stream_state``)."""
+    import jax.nn
+
+    kind = model.normalization
+    gamma = model.kernel
+    q = qparams
+
+    x = _stream_norm(kind, q["norm_in"], x_t, per_joint=True)
+    wq, sw, b = q["fcn_in"]
+    x = int8_matmul(x, wq, sw) + b
+
+    new_state = []
+    for i, layer in enumerate(q["layers"]):
+        st = state[i]
+        d = model.dilation[i]
+        cin, cout = model.in_ch[i], model.out_ch[i]
+        residual = bool(model.residual[i])
+        norm_names = sorted(layer["norms"])
+        n_idx = 0
+
+        if residual:
+            if cin == cout:
+                res_now = x
+            else:
+                rq, rs, rb = layer["res"]
+                res_now = int8_matmul(x, rq, rs) + rb
+                res_now = _stream_norm(
+                    kind, layer["norms"][norm_names[n_idx]], res_now
+                )
+                n_idx += 1
+            delay = gamma // 2
+            if delay > 0:
+                res = st["res_fifo"][st["res_idx"]]
+                res_fifo = jax.lax.dynamic_update_index_in_dim(
+                    st["res_fifo"], res_now, st["res_idx"], axis=0
+                )
+                res_idx = jnp.mod(st["res_idx"] + 1, delay)
+            else:
+                res, res_fifo, res_idx = res_now, st["res_fifo"], st["res_idx"]
+        else:
+            res, res_fifo, res_idx = 0.0, st["res_fifo"], st["res_idx"]
+
+        A = layer["A"]
+        agg = jnp.einsum("nvc,pvw->nwpc", x, A)
+        n_, v_ = agg.shape[0], agg.shape[1]
+        wq, sw, gb = layer["gcn"]
+        y = int8_matmul(agg.reshape(n_, v_, -1), wq, sw)
+        y = y + jnp.einsum("pvw,pd->wd", A, gb)
+        y = _stream_norm(kind, layer["norms"][norm_names[n_idx]], y)
+        n_idx += 1
+        y = jax.nn.relu(y)
+
+        depth = st["fifo"].shape[0]
+        fifo = jax.lax.dynamic_update_index_in_dim(st["fifo"], y, st["idx"], axis=0)
+        taps = jnp.mod(st["idx"] - jnp.arange(gamma, dtype=jnp.int32) * d, depth)
+        # taps[k] holds u[t-k·d]; (Γ,N,V,C) → (N,V,Γ·C) matches the
+        # pre-flipped (Γ·C, C) kernel layout
+        u = jnp.moveaxis(fifo[taps], 0, 2).reshape(n_, v_, -1)
+        tq, ts, tb = layer["tcn"]
+        y = int8_matmul(u, tq, ts) + tb
+        y = _stream_norm(kind, layer["norms"][norm_names[n_idx]], y)
+
+        new_state.append(
+            {
+                "fifo": fifo,
+                "idx": jnp.mod(st["idx"] + 1, depth),
+                "res_fifo": res_fifo,
+                "res_idx": res_idx,
+            }
+        )
+        x = jax.nn.relu(y + res)
+
+    x = jnp.mean(x, axis=1)
+    wq, sw, b = q["fcn_out"]
+    return int8_matmul(x, wq, sw) + b, new_state
+
+
+def _init_costgcn_quant_state(model, batch=1, dtype=jnp.float32):
+    from stgx.models.costgcn import init_stream_state
+
+    return init_stream_state(model, None, batch=batch, dtype=dtype)
+
+
+# model name → (quantize(model, params), qstep(model, q, state, x_t),
+#               init_state(model, batch)) — the generic dispatch the
+# benchmark CLI uses (reference's flow is model-generic FX graph surgery,
+# processor.py:905-931)
+QUANT_MODELS = {
+    "rt-st-gcn": (
+        quantize_rtstgcn,
+        quantized_stream_step,
+        lambda model, batch=1: init_quant_stream_state(model, batch),
+    ),
+    "co-st-gcn": (
+        quantize_costgcn,
+        quantized_costgcn_stream_step,
+        lambda model, batch=1: _init_costgcn_quant_state(model, batch),
+    ),
+}
 
 
 def quantized_size_bytes(qparams) -> int:

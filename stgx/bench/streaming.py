@@ -28,7 +28,15 @@ def param_bytes(params) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
 
 
-WINDOW_MODELS = ("st-gcn", "aa-gcn", "shift-gcn", "shift-gcn++")
+WINDOW_MODELS = (
+    "st-gcn", "aa-gcn", "shift-gcn", "shift-gcn++", "shift-gcn++-teacher"
+)
+
+
+def _quant_models():
+    from stgx.bench.quant import QUANT_MODELS
+
+    return QUANT_MODELS
 
 
 def _streaming_fns(name):
@@ -219,27 +227,25 @@ def run_streaming_benchmark(cfg) -> int:
     acc = float((top1 == y[:n_frames]).mean())
     size_mb = param_bytes(params) / 1e6
 
-    # int8 PTQ pass (rt-st-gcn streaming cell; reference processor.py:905-939)
+    # int8 PTQ pass over every model with a continual cell (reference's flow
+    # is model-generic, processor.py:905-939; its published table includes
+    # both RT-ST-GCN and CoST-GCN int8 rows, README.md:269-270)
     int8 = {}
-    if name == "rt-st-gcn":
+    if name in _quant_models():
         import time as _time
 
         import jax
         import jax.numpy as jnp
 
-        from stgx.bench.quant import (
-            init_quant_stream_state,
-            quantize_rtstgcn,
-            quantized_size_bytes,
-            quantized_stream_step,
-        )
+        from stgx.bench.quant import QUANT_MODELS, quantized_size_bytes
 
-        qparams = quantize_rtstgcn(model, params)
-        qstate = init_quant_stream_state(model)
+        quantize, qstep_fn, qinit = QUANT_MODELS[name]
+        qparams = quantize(model, params)
+        qstate = qinit(model)
 
         @jax.jit
         def qstep(qparams, state, x_t):
-            return quantized_stream_step(model, qparams, state, x_t)
+            return qstep_fn(model, qparams, state, x_t)
 
         frames_q = jnp.asarray(x[:n_frames])
         for _ in range(10):  # warm
@@ -259,7 +265,7 @@ def run_streaming_benchmark(cfg) -> int:
         @jax.jit
         def qrun(qparams, state, frames):
             def body(carry, x_t):
-                ql, st = quantized_stream_step(model, qparams, carry, x_t[None])
+                ql, st = qstep_fn(model, qparams, carry, x_t[None])
                 return st, ql
 
             _, ys = jax.lax.scan(body, state, frames)

@@ -80,3 +80,50 @@ def test_int8_size_reduction():
     q_bytes = quantized_size_bytes(qparams)
     # matmul weights dominate; int8 cuts total well below fp32
     assert q_bytes < 0.75 * fp_bytes, (q_bytes, fp_bytes)
+
+
+def test_quantized_costgcn_stream_close_to_fp32():
+    """The reference's published int8 table includes CoST-GCN
+    (README.md:269-270) — the continual cell quantizes generically."""
+    from stgx.bench.quant import QUANT_MODELS, quantize_costgcn
+    from stgx.models.costgcn import CoStgcn
+    from stgx.models.costgcn import stream_sequence as co_stream
+
+    model = CoStgcn(
+        num_classes=5, in_feat=6, graph=SKEL, kernel=3,
+        in_ch=(8, 8, 16), out_ch=(8, 16, 16), dilation=(1, 2, 1),
+        residual=(1, 1, 1), dropout=(0.0,) * 3, normalization="LayerNorm",
+    )
+    x = RNG.normal(size=(1, 24, 7, 6)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y_fp, _ = co_stream(model, params, jnp.asarray(x))
+
+    quantize, qstep, qinit = QUANT_MODELS["co-st-gcn"]
+    assert quantize is quantize_costgcn
+    qparams = quantize(model, params)
+    state = qinit(model)
+    outs = []
+    for t in range(x.shape[1]):
+        logits, state = qstep(model, qparams, state, jnp.asarray(x[:, t]))
+        outs.append(np.asarray(logits))
+    y_q = np.stack(outs, axis=1)
+    y_fp = np.asarray(y_fp)
+    agree = (y_q.argmax(-1) == y_fp.argmax(-1)).mean()
+    assert agree > 0.9, agree
+    rel = np.abs(y_q - y_fp).mean() / (np.abs(y_fp).mean() + 1e-9)
+    assert rel < 0.2, rel
+
+
+def test_quantized_costgcn_size_reduction():
+    from stgx.bench.quant import quantize_costgcn, quantized_size_bytes
+    from stgx.models.costgcn import CoStgcn
+
+    model = CoStgcn(
+        num_classes=5, in_feat=6, graph=SKEL, kernel=3,
+        in_ch=(8, 8, 16), out_ch=(8, 16, 16), dilation=(1, 1, 1),
+        residual=(1, 1, 1), dropout=(0.0,) * 3, normalization="LayerNorm",
+    )
+    x = RNG.normal(size=(1, 16, 7, 6)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    qparams = quantize_costgcn(model, params)
+    assert quantized_size_bytes(qparams) < 0.75 * param_bytes(params)
