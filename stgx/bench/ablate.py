@@ -1,0 +1,126 @@
+"""Subtractive op-cost profile of the RT-ST-GCN train step.
+
+The remote-compile tunnel makes trace-based profiling impractical (the
+profiler runs server-side), so this measures where the step time goes by
+*ablation*: monkeypatch one hot op at a time to a shape-preserving no-op,
+re-jit the full train step, and read each op's marginal cost as
+``t(full) - t(variant)``. The variants keep every other op (and XLA's
+fusion context) intact, so the marginals are honest about what removing
+the op's HBM traffic + FLOPs would actually buy.
+
+Variants:
+  full        — unmodified step (the number bench.py reports)
+  no_norm     — batch/layer norm -> affine only (no stats passes)
+  no_acc      — causal window-sum -> identity
+  no_agg      — adjacency aggregation -> broadcast over P (keeps the
+                P-expanded intermediate's HBM traffic, drops the K=25 dot)
+  matmul_only — whole gcn -> one partition-summed channel matmul (drops
+                the P-expanded intermediate entirely)
+  fwd_only    — forward + loss only (no grad/adam)
+
+Run: ``python -m stgx.bench.ablate [--dtype bfloat16] [--frames 1024]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import json
+
+import numpy as np
+
+
+@contextlib.contextmanager
+def _patched(monkey):
+    saved = [(mod, name, getattr(mod, name)) for mod, name, _ in monkey]
+    try:
+        for mod, name, fn in monkey:
+            setattr(mod, name, fn)
+        yield
+    finally:
+        for mod, name, fn in saved:
+            setattr(mod, name, fn)
+
+
+def _variants():
+    import jax.numpy as jnp
+
+    import stgx.models.rtstgcn as rtstgcn
+    import stgx.models.stgcn as stgcn
+    import stgx.ops.graph_conv as graph_conv
+    import stgx.ops.norms as norms
+
+    def affine_bn(x, weight, bias, axes, eps=1e-5, mask=None):
+        return weight * x + bias
+
+    def affine_ln(x, weight, bias, eps=1e-5):
+        return weight * x + bias
+
+    def identity_acc(x, kernel_size, stride):
+        return x
+
+    def broadcast_agg(x, A):
+        n, l, v, c = x.shape
+        return jnp.broadcast_to(x[:, :, None], (n, l, A.shape[0], v, c))
+
+    def matmul_only(x, A, W, b=None):
+        y = jnp.einsum("nlvc,pcd->nlvd", x, W,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        return y if b is None else y + jnp.sum(b, 0).astype(x.dtype)
+
+    return {
+        "full": [],
+        "no_norm": [(norms, "batch_norm", affine_bn),
+                    (norms, "layer_norm", affine_ln)],
+        "no_acc": [(rtstgcn, "causal_accumulate", identity_acc)],
+        "no_agg": [(graph_conv, "gcn_aggregate", broadcast_agg)],
+        "matmul_only": [(stgcn, "partitioned_gcn", matmul_only),
+                        (graph_conv, "partitioned_gcn", matmul_only)],
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--frames", type=int, default=1024)
+    ap.add_argument("--only", default=None, help="comma-list of variants")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from stgx.bench.train_throughput import measure_train_throughput
+    from stgx.graph import load_skeleton
+    from stgx.models import MODELS
+    from stgx.utils.loss import Loss
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    loss = Loss(np.ones(52, np.float32), "logits")
+
+    results = {}
+    variants = _variants()
+    names = args.only.split(",") if args.only else list(variants)
+    for name in names:
+        model = MODELS["rt-st-gcn"](
+            num_classes=52, in_feat=3, graph=load_skeleton("pku-mmd"),
+            normalization="BatchNorm",
+        )
+        with _patched(variants[name]):
+            fps, sec = measure_train_throughput(
+                model, loss, frames_per_trial=args.frames, dtype=dtype
+            )
+        results[name] = fps
+        print(json.dumps({"variant": name, "frames_per_s": round(fps),
+                          "step_ms": round(sec * 1e3, 1)}), flush=True)
+
+    if "full" in results:
+        base = 1e6 / results["full"]  # µs/frame
+        for name, fps in results.items():
+            if name == "full":
+                continue
+            saved = base - 1e6 / fps
+            print(f"{name}: marginal cost {saved:.2f} µs/frame "
+                  f"({100 * saved / base:.1f}% of step)")
+
+
+if __name__ == "__main__":
+    main()

@@ -78,10 +78,18 @@ def sp_temporal_conv(mesh, x, W, b=None, stride: int = 1, dilation: int = 1,
         left, right = eff, 0
     else:
         raise ValueError("sp_temporal_conv supports 'same' or 'causal'")
-    if stride != 1:
-        raise NotImplementedError(
-            "strided sequence-parallel conv changes per-shard lengths; "
-            "use the GSPMD path for strided layers"
+    n_seq = mesh.shape["seq"]
+    l_loc = x.shape[1] // n_seq
+    if x.shape[1] % n_seq or l_loc % stride:
+        # per-shard length must be a stride multiple so every shard's first
+        # output sits on stride phase 0 — then a local *valid* strided conv
+        # on the halo-extended block reproduces the global strided conv
+        # exactly (local output jl taps global frames
+        # [i·L_loc + jl·s − left, … + right], the same window the unsharded
+        # conv uses for global output i·L_loc/s + jl)
+        raise ValueError(
+            f"sequence-parallel strided conv needs the per-shard length "
+            f"({x.shape[1]}/{n_seq}) to be a multiple of stride={stride}"
         )
 
     @functools.partial(
@@ -92,7 +100,7 @@ def sp_temporal_conv(mesh, x, W, b=None, stride: int = 1, dilation: int = 1,
     )
     def run(x_loc, W, b):
         ext = halo_exchange(x_loc, left, right)
-        return temporal_conv(ext, W, b, stride=1, dilation=dilation,
+        return temporal_conv(ext, W, b, stride=stride, dilation=dilation,
                              padding="valid")
 
     if b is None:
