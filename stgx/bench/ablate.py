@@ -61,21 +61,30 @@ def _variants():
 
     def broadcast_agg(x, A):
         n, l, v, c = x.shape
-        return jnp.broadcast_to(x[:, :, None], (n, l, A.shape[0], v, c))
+        return jnp.broadcast_to(x[:, :, :, None], (n, l, v, A.shape[0], c))
 
     def matmul_only(x, A, W, b=None):
         y = jnp.einsum("nlvc,pcd->nlvd", x, W,
                        preferred_element_type=jnp.float32).astype(x.dtype)
         return y if b is None else y + jnp.sum(b, 0).astype(x.dtype)
 
+    import stgx.ops.temporal as temporal
+
     return {
         "full": [],
         "no_norm": [(norms, "batch_norm", affine_bn),
                     (norms, "layer_norm", affine_ln)],
         "no_acc": [(rtstgcn, "causal_accumulate", identity_acc)],
+        "acc_reduce_window": [(rtstgcn, "causal_accumulate",
+                               temporal._reduce_window_accumulate)],
+        "acc_slices": [(rtstgcn, "causal_accumulate",
+                        temporal._slices_accumulate)],
+        "acc_toeplitz": [(rtstgcn, "causal_accumulate",
+                          temporal._block_toeplitz_accumulate)],
         "no_agg": [(graph_conv, "gcn_aggregate", broadcast_agg)],
         "matmul_only": [(stgcn, "partitioned_gcn", matmul_only),
                         (graph_conv, "partitioned_gcn", matmul_only)],
+        "fwd_only": [],
     }
 
 
@@ -106,7 +115,8 @@ def main(argv=None):
         )
         with _patched(variants[name]):
             fps, sec = measure_train_throughput(
-                model, loss, frames_per_trial=args.frames, dtype=dtype
+                model, loss, frames_per_trial=args.frames, dtype=dtype,
+                fwd_only=(name == "fwd_only"),
             )
         results[name] = fps
         print(json.dumps({"variant": name, "frames_per_s": round(fps),

@@ -29,10 +29,11 @@ _V5E_PEAK_TFLOPS = 197.0
 
 def measure_train_throughput(
     model, loss, frames_per_trial=1024, trial_counts=(2, 8), dtype=None,
-    iters=6, seed=0,
+    iters=6, seed=0, fwd_only=False,
 ):
     """Returns (frames_per_second, seconds_per_step_at_max) via RTT-free
-    slope between the two ``trial_counts`` stack sizes."""
+    slope between the two ``trial_counts`` stack sizes. ``fwd_only`` drops
+    the grad/adam half (forward + loss only) for ablation."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -54,6 +55,8 @@ def measure_train_throughput(
             ce, mse = loss(out.astype(jnp.float32), y, mask)
             return ce + mse
 
+        if fwd_only:
+            return params, opt_state, loss_fn(params)
         l, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, l

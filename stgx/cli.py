@@ -20,8 +20,19 @@ import numpy as np
 
 
 def _log_factory(job):
+    """Route log lines to ``job.log[0]`` and stderr to ``job.log[1]`` when
+    set (the reference prints through ``file=job_conf['log'][0]``,
+    processor.py:478,608,722; ``[null, null]`` in its shipped configs means
+    stdout/stderr)."""
+    out_path, err_path = (list(job.get("log") or [None, None]) + [None])[:2]
+    stream = sys.stdout
+    if out_path:
+        stream = open(out_path, "a", buffering=1)
+    if err_path:
+        sys.stderr = open(err_path, "a", buffering=1)
+
     def log(msg):
-        print(msg, flush=True)
+        print(msg, flush=True, file=stream)
 
     return log
 
@@ -222,6 +233,51 @@ def _write_curve(path, rows, header):
         w.writerows(rows)
 
 
+# curve row layout produced by cmd_train's epoch loop
+_CURVE_COLS = ["epoch", "train_ce", "train_mse", "val_ce", "val_mse",
+               "top1_train", "top5_train", "top1_val", "top5_val",
+               "time_train", "time_val"]
+
+
+def _write_epoch_curves(out_dir, curve):
+    """The reference's two per-epoch curve CSVs (processor.py:757-773):
+    accuracy-curve.csv (train/val top-k) + train-validation-curve.csv
+    (train/val losses)."""
+    _write_curve(
+        os.path.join(out_dir, "train-validation-curve.csv"), curve, _CURVE_COLS
+    )
+    _write_curve(
+        os.path.join(out_dir, "accuracy-curve.csv"),
+        [[r[0], r[5], r[7], r[6], r[8]] for r in curve],
+        ["epoch", "top1_train", "top1_val", "top5_train", "top5_val"],
+    )
+
+
+def _email_stats_table(job, curve):
+    """``verbose > 1``: per-epoch stats table emailed newest-first, the
+    stgx counterpart of the reference's shell printf + mail pipeline
+    (processor.py:735-755)."""
+    from stgx.utils.notify import send_mail
+
+    header = (
+        f"{'EPOCH':>6} {'LOSS_TRAIN':>11} {'LOSS_VAL':>9} {'TOP1_TRAIN':>11} "
+        f"{'TOP5_TRAIN':>11} {'TOP1_VAL':>9} {'TOP5_VAL':>9} "
+        f"{'TIME_TRAIN':>11} {'TIME_VAL':>9}"
+    )
+    lines = [header]
+    for r in reversed(curve):  # newest first, like the reference's insert(0)
+        lines.append(
+            f"{r[0]:>6d} {r[1] + r[2]:>11.6f} {r[3] + r[4]:>9.6f} "
+            f"{r[5]:>11.4f} {r[6]:>11.4f} {r[7]:>9.4f} {r[8]:>9.4f} "
+            f"{r[9]:>11.6f} {r[10]:>9.6f}"
+        )
+    send_mail(
+        job.get("email"),
+        f"[{job.get('jobname', 'stgx')}]: status update",
+        "\n".join(lines),
+    )
+
+
 def _demo_masks(trainer, params, dataset, demo_indices, out_dir, suffix=""):
     """Per-trial (label, top1) CSV dumps (reference processor.py:308-322)."""
     for i in demo_indices:
@@ -284,6 +340,7 @@ def cmd_train(cfg):
     # the reference only had wall clocks; this writes a real XLA trace
     # viewable in TensorBoard/Perfetto)
     profile_dir = cfg["job"].get("profile")
+    verbose = cfg["job"].get("verbose", 0)
     curve = []
     t_start = time.time()
     for epoch in range(start_epoch, trainer.opt.epochs):
@@ -298,34 +355,41 @@ def cmd_train(cfg):
         metrics = _metrics(cfg, ncls)
         ev = trainer.evaluate(params, val_ds, metrics=metrics)
         curve.append(
-            [epoch, tr["ce"], tr["mse"], ev["ce"], ev["mse"], ev["top1"], ev["top5"]]
+            [epoch, tr["ce"], tr["mse"], ev["ce"], ev["mse"],
+             tr["top1"], tr["top5"], ev["top1"], ev["top5"],
+             tr["duration"], ev["duration"]]
         )
         log(
             f"[epoch {epoch}] train ce={tr['ce']:.3f} mse={tr['mse']:.3f} "
-            f"({tr['duration']:.1f}s) | val ce={ev['ce']:.3f} "
+            f"top1={tr['top1']:.3f} ({tr['duration']:.1f}s) | "
+            f"val ce={ev['ce']:.3f} "
             f"top1={ev['top1']:.3f} top5={ev['top5']:.3f} "
             f"({ev['duration']:.1f}s) | "
             + ", ".join(filter(None, (m.log() for m in metrics)))
         )
+        if verbose > 0:
+            # reference processor.py:725-733
+            log(
+                f"[epoch {epoch}]: train_time = {tr['duration']}, "
+                f"val_time = {ev['duration']}"
+            )
         for m in metrics:
             m.save(out_dir, suffix=f"-{epoch}")
+        # per-epoch demo segmentation masks, overwritten like the reference
+        # (processor.py:699-707, suffix=None inside the epoch loop)
+        _demo_masks(
+            trainer, params, val_ds, cfg["processor"].get("demo", []), out_dir
+        )
+        # per-epoch curve artifacts so a killed job still has them
+        # (reference updates both CSVs every epoch, processor.py:757-773)
+        _write_epoch_curves(out_dir, curve)
+        if verbose > 1:
+            _email_stats_table(cfg["job"], curve)
         if epoch in trainer.opt.checkpoint_indices:
             save_checkpoint(out_dir, epoch, params, opt_state)
 
     save_checkpoint(out_dir, trainer.opt.epochs - 1, params, opt_state, name="final")
-    _write_curve(
-        os.path.join(out_dir, "train-validation-curve.csv"),
-        curve,
-        ["epoch", "train_ce", "train_mse", "val_ce", "val_mse", "top1", "top5"],
-    )
-    # accuracy-curve.csv kept as a separate artifact for parity with the
-    # reference's output set (processor.py:757-773)
-    _write_curve(
-        os.path.join(out_dir, "accuracy-curve.csv"),
-        [[row[0], row[5], row[6]] for row in curve],
-        ["epoch", "top1", "top5"],
-    )
-    _demo_masks(trainer, params, val_ds, cfg["processor"].get("demo", []), out_dir)
+    _write_epoch_curves(out_dir, curve)
     log(f"training done in {time.time() - t_start:.1f}s → {out_dir}")
 
     from stgx.utils.notify import backup_results, send_mail

@@ -80,8 +80,10 @@ class GraphConv(nn.Module):
         )
         if A.ndim == 4:
             # per-sample adjacency (AAGCN attention): batch the contraction
-            agg = jnp.einsum("nlvc,npvw->nlpwc", x, A, preferred_element_type=jnp.float32).astype(x.dtype)
-            y = jnp.einsum("nlpwc,pcd->nlwd", agg, W, preferred_element_type=jnp.float32).astype(x.dtype)
+            # partition axis inside V: keeps the (P, C) contraction dim
+            # contiguous for the dot (see stgx/ops/graph_conv.py)
+            agg = jnp.einsum("nlvc,npvw->nlwpc", x, A, preferred_element_type=jnp.float32).astype(x.dtype)
+            y = jnp.einsum("nlwpc,pcd->nlwd", agg, W, preferred_element_type=jnp.float32).astype(x.dtype)
             if b is not None:
                 y = y + jnp.einsum("npvw,pd->nwd", A, b)[:, None].astype(x.dtype)
             return y

@@ -58,9 +58,13 @@ def gcn_aggregate(x, A):
             (matching the reference's transposed layout, tgcn.py:76).
 
     Returns:
-        ``(N, L, P, V, C)`` per-partition aggregated features.
+        ``(N, L, V, P, C)`` per-partition aggregated features. The partition
+        axis sits *inside* V so the consumer matmul's stacked ``(P, C)``
+        contraction dim is contiguous — emitting ``(N, L, P, V, C)`` instead
+        forces XLA to materialize a physical transpose of the P-expanded
+        intermediate (an extra full HBM pass) before the dot.
     """
-    y = jnp.einsum("nlvc,pvw->nlpwc", x, A, preferred_element_type=jnp.float32)
+    y = jnp.einsum("nlvc,pvw->nlwpc", x, A, preferred_element_type=jnp.float32)
     return y.astype(x.dtype)
 
 
@@ -86,7 +90,7 @@ def partitioned_gcn(x, A, W, b=None):
         return partitioned_gcn_pallas(x, A, W, b)
     agg = gcn_aggregate(x, A)
     # one MXU matmul over the stacked (P, C_in) contraction dim
-    y = jnp.einsum("nlpwc,pcd->nlwd", agg, W, preferred_element_type=jnp.float32)
+    y = jnp.einsum("nlwpc,pcd->nlwd", agg, W, preferred_element_type=jnp.float32)
     y = y.astype(x.dtype)
     if b is not None:
         y = y + jnp.einsum("pvw,pd->wd", A, b).astype(x.dtype)

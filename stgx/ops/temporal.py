@@ -34,7 +34,34 @@ __all__ = [
     "causal_accumulate",
     "causal_accumulate_step",
     "init_accumulator_state",
+    "set_acc_impl",
+    "get_acc_impl",
 ]
+
+# Accumulator backend, read at trace time (like stgx.ops.graph_conv._IMPL):
+# "auto" picks the fastest measured form (stgx/bench/ablate.py A/Bs them in
+# one process on the real chip; numbers in causal_accumulate's docstring);
+# explicit names pin one: "reduce_window" | "slices" | "toeplitz" (XLA
+# forms), "pallas" (fused VMEM kernel, stgx/ops/pallas_acc.py), "xla"
+# (alias for the default XLA form). The Pallas kernel is a per-device op
+# with no GSPMD partitioning rule, so the Trainer pins "xla" when running
+# a sharded mesh (the sequence-parallel shard_map path,
+# stgx/parallel/halo.py, may still call it per shard).
+import os as _os
+
+_ACC_IMPLS = ("auto", "pallas", "xla", "reduce_window", "slices", "toeplitz")
+_ACC_IMPL = _os.environ.get("STGX_ACC_IMPL", "auto")
+
+
+def set_acc_impl(name: str) -> None:
+    global _ACC_IMPL
+    if name not in _ACC_IMPLS:
+        raise ValueError(f"unknown acc impl: {name!r}")
+    _ACC_IMPL = name
+
+
+def get_acc_impl() -> str:
+    return _ACC_IMPL
 
 
 def temporal_conv(x, W, b=None, stride: int = 1, dilation: int = 1,
@@ -87,22 +114,122 @@ def causal_accumulate(x, kernel_size: int, stride: int):
     as the input — the RT model never downsamples time; ``stride`` only
     widens the tap spacing (reference rtstgcn.py:368-379).
 
-    Implemented as a causal width-K sliding window-sum (``lax.reduce_window``
-    with left padding), per stride phase when ``stride > 1``. K is small
-    (Γ/s ≤ 9 here) so this is O(K) VPU adds per element. A cumsum-difference
-    formulation looks cheaper on paper but XLA lowers ``cumsum`` itself to a
-    full-length reduce-window — O(L) per element — which profiling showed
-    eating half the train step; an L×L Toeplitz matmul (the reference's
-    construction, rtstgcn.py:368-379) similarly wastes O(L²) work.
+    Four implementations, selectable via ``set_acc_impl`` / STGX_ACC_IMPL
+    and A/B-able in one process with ``stgx.bench.ablate``: "reduce_window"
+    (default), "slices", "toeplitz" (block-Toeplitz MXU matmuls), "pallas"
+    (fused VMEM kernel, stgx/ops/pallas_acc.py). Measured marginal bf16
+    train-step cost on one v5e (µs/frame, within-run comparisons only — the
+    remote tunnel makes cross-process numbers drift ±25%): reduce_window
+    ~1.1-1.3 (best), pallas ~2.3, slices worst. A cumsum-difference
+    formulation looks cheaper on paper but XLA lowers ``cumsum`` itself to
+    a full-length reduce-window — O(L) per element; the reference's dense
+    L×L Toeplitz matmul (rtstgcn.py:368-379) wastes O(L²) work (the
+    "toeplitz" form here is its O(L·128) block-banded repair).
     """
     k = kernel_size // stride
     n, l, v, c = x.shape
     if k <= 1:
         return x
 
+    impl = _ACC_IMPL
+    if impl in ("auto", "xla"):
+        # best measured XLA form on the training shapes (see docstring)
+        impl = "reduce_window"
+    if impl == "pallas":
+        from stgx.ops.pallas_acc import causal_accumulate_pallas
+
+        return causal_accumulate_pallas(x, kernel_size, stride)
+    if impl == "toeplitz":
+        return _block_toeplitz_accumulate(x, kernel_size, stride)
+    if impl == "slices":
+        return _slices_accumulate(x, kernel_size, stride)
+    return _reduce_window_accumulate(x, kernel_size, stride)
+
+
+def _slices_accumulate(x, kernel_size: int, stride: int):
+    """XLA fallback: K statically-shifted strided slices, summed unrolled."""
+    k = kernel_size // stride
+    n, l, v, c = x.shape
+    if k <= 1:
+        return x
     # fp32 accumulation under fp32 compute (pins the FIFO ≡ batch equivalence
     # tests bit-exactly); under bf16 compute stay in bf16 — K ≤ 9 terms, and
     # the fp32 round-trip would double this op's HBM traffic
+    acc_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+
+    pad = (k - 1) * stride
+    xp = jnp.pad(
+        x.astype(acc_dtype), ((0, 0), (pad, 0), (0, 0), (0, 0))
+    )
+    # y[t] = sum_i x[t - i*stride], accumulated oldest tap first; summation
+    # order is pinned only up to the FIFO≡batch tolerance (integer-exact
+    # regardless of order, tests/test_integer_exact.py; fp32 at 1e-4)
+    y = xp[:, : l]
+    for i in range(k - 2, -1, -1):
+        y = y + xp[:, pad - i * stride : pad - i * stride + l]
+    return y.astype(x.dtype)
+
+
+def _toeplitz_bands(k: int, stride: int, block: int):
+    """Constant 0/1 band matrices for the block-Toeplitz window-sum:
+    ``T0[i, j] = [i - j ∈ taps]`` (within-block), ``T1[i, j] =
+    [i + block - j ∈ taps]`` (from the previous block), taps =
+    {0, stride, ..., (k-1)·stride}."""
+    import numpy as np
+
+    i = np.arange(block)[:, None]
+    j = np.arange(block)[None, :]
+
+    def band(d):
+        return (
+            (d >= 0) & (d <= (k - 1) * stride) & (d % stride == 0)
+        ).astype(np.float32)
+
+    return band(i - j), band(i + block - j)
+
+
+def _block_toeplitz_accumulate(x, kernel_size: int, stride: int,
+                               block: int = 128):
+    """MXU form of the causal window-sum: time is split into 128-frame
+    blocks and each output block is ``T0 @ z_b + T1 @ z_{b-1}`` with
+    constant 0/1 band matrices. The adds ride the MXU (adding ~2·128 MACs
+    per element ≈ 1% of the model's FLOPs) instead of the VPU's sublane
+    shifts, and the backward is the same pair of (transposed) matmuls. This
+    is the reference's L×L Toeplitz construction (rtstgcn.py:368-379) made
+    O(L·block) and compute-bound-free."""
+    k = kernel_size // stride
+    n, l, v, c = x.shape
+    if k <= 1:
+        return x
+    if (k - 1) * stride > block:
+        return _slices_accumulate(x, kernel_size, stride)
+    t0, t1 = _toeplitz_bands(k, stride, block)
+    t0 = jnp.asarray(t0, x.dtype)
+    t1 = jnp.asarray(t1, x.dtype)
+    pad_l = (-l) % block
+    xp = (
+        jnp.pad(x, ((0, 0), (0, pad_l), (0, 0), (0, 0))) if pad_l else x
+    )
+    nb = (l + pad_l) // block
+    z = xp.reshape(n, nb, block, v * c)
+    zprev = jnp.concatenate(
+        [jnp.zeros_like(z[:, :1]), z[:, :-1]], axis=1
+    )
+    y = jnp.einsum(
+        "ij,nbjq->nbiq", t0, z, preferred_element_type=jnp.float32
+    ) + jnp.einsum(
+        "ij,nbjq->nbiq", t1, zprev, preferred_element_type=jnp.float32
+    )
+    return y.astype(x.dtype).reshape(n, l + pad_l, v, c)[:, :l]
+
+
+def _reduce_window_accumulate(x, kernel_size: int, stride: int):
+    """Default form: causal width-K ``lax.reduce_window`` (per stride phase
+    when ``stride > 1``)."""
+    k = kernel_size // stride
+    n, l, v, c = x.shape
+    if k <= 1:
+        return x
     acc_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
 
     def window_sum(t, time_axis):

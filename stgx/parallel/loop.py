@@ -103,6 +103,13 @@ class Trainer:
                 StatisticsMultiStage() if self.kind.endswith("_ms")
                 else Statistics()
             )
+        if self.mesh is not None:
+            # the fused Pallas accumulator has no GSPMD partitioning rule;
+            # keep the sharded path on the XLA form (stgx/ops/temporal.py)
+            from stgx.ops.temporal import get_acc_impl, set_acc_impl
+
+            if get_acc_impl() == "auto":
+                set_acc_impl("xla")
         if self.pipeline:
             if self.kind != "frame_ms":
                 raise ValueError("pipeline=True needs an ms-tcn-kind model")
@@ -267,12 +274,18 @@ class Trainer:
                 out = out.astype(jnp.float32)
                 ce_v, mse_v = self.loss(out, y, mask, per_sample=True)
                 scaled = jnp.sum((ce_v + mse_v) / divisors)
-                return scaled, (jnp.sum(ce_v), jnp.sum(mse_v))
+                # train-time top-k counts from the same forward pass, like
+                # the reference (processor.py:389-392,687-694); free on the
+                # MXU path (argmax + compare, no extra HBM pass)
+                _, _, c1, c5, tot = self.statistics(
+                    jax.lax.stop_gradient(out), y, mask
+                )
+                return scaled, (jnp.sum(ce_v), jnp.sum(mse_v), c1, c5, tot)
 
-            (_, (ce, mse)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params
-            )
-            return grads, ce, mse
+            (_, (ce, mse, c1, c5, tot)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            return grads, ce, mse, c1, c5, tot
 
         fn = jax.jit(step)
         self._jit_cache[("gradb", shape_key)] = fn
@@ -293,12 +306,17 @@ class Trainer:
                 lmask = mask[None] if self.kind.startswith("window") else mask
                 ly = y[None] if self.kind.startswith("window") else y
                 ce, mse = self.loss(out, ly, lmask)
-                return (ce + mse + aux) / divisor, (ce, mse)
+                # train top-k from the training forward, as the reference
+                # does (processor.py:389-392,687-694)
+                _, _, c1, c5, tot = self.statistics(
+                    jax.lax.stop_gradient(out), ly, lmask
+                )
+                return (ce + mse + aux) / divisor, (ce, mse, c1, c5, tot)
 
-            (scaled, (ce, mse)), grads = jax.value_and_grad(
+            (scaled, (ce, mse, c1, c5, tot)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params)
-            return grads, ce, mse
+            return grads, ce, mse, c1, c5, tot
 
         fn = jax.jit(step)
         self._jit_cache[("grad", shape_key)] = fn
@@ -365,6 +383,7 @@ class Trainer:
         ragged = n % bs
         accum = None
         ce_sum = mse_sum = 0.0
+        c1 = c5 = tot = 0
         t0 = time.time()
 
         i = 0
@@ -398,7 +417,7 @@ class Trainer:
                 [float(ragged if g[3] else bs) for g in group], jnp.float32
             )
             rng, sub = jax.random.split(rng)
-            grads, ce, mse = self._grad_step_batched(xb.shape)(
+            grads, ce, mse, ic1, ic5, itot = self._grad_step_batched(xb.shape)(
                 params, xb, yb, mb, div, sub,
                 jnp.asarray(epoch, jnp.float32),
             )
@@ -407,6 +426,9 @@ class Trainer:
             )
             ce_sum += float(ce)
             mse_sum += float(mse)
+            c1 += int(ic1)
+            c5 += int(ic5)
+            tot += int(itot)
             since_step += len(group)
             if log:
                 log(f"[trials ..{i - 1}]: ce = {float(ce):.4f}")
@@ -419,6 +441,8 @@ class Trainer:
         return params, opt_state, {
             "ce": ce_sum,
             "mse": mse_sum,
+            "top1": c1 / max(tot, 1),
+            "top5": c5 / max(tot, 1),
             "duration": time.time() - t0,
         }
 
@@ -438,6 +462,7 @@ class Trainer:
         ragged = n % bs
         accum = None
         ce_sum = mse_sum = 0.0
+        c1 = c5 = tot = 0
         t0 = time.time()
 
         for i in range(n):
@@ -452,7 +477,7 @@ class Trainer:
                 rng, sub = jax.random.split(rng)
                 # per-chunk loss divided by the chunk count, reproducing the
                 # reference's ce/num_subsegments (processor.py:392,532-543)
-                grads, ce, mse = self._grad_step(cx.shape)(
+                grads, ce, mse, ic1, ic5, itot = self._grad_step(cx.shape)(
                     params, cx, cy, cm, divisor * len(chunks), sub,
                     jnp.asarray(epoch, jnp.float32),
                 )
@@ -463,6 +488,9 @@ class Trainer:
                 )
                 trial_ce += float(ce) / len(chunks)
                 trial_mse += float(mse) / len(chunks)
+                c1 += int(ic1)
+                c5 += int(ic5)
+                tot += int(itot)
             ce_sum += trial_ce
             mse_sum += trial_mse
             if log:
@@ -475,6 +503,8 @@ class Trainer:
         return params, opt_state, {
             "ce": ce_sum,
             "mse": mse_sum,
+            "top1": c1 / max(tot, 1),
+            "top5": c5 / max(tot, 1),
             "duration": time.time() - t0,
         }
 

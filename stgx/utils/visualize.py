@@ -90,15 +90,16 @@ def plot_curves(csv_path, out_path=None):
     import matplotlib.pyplot as plt
 
     data = _read_csv(csv_path)
-    # columns: epoch, train_ce, train_mse, val_ce, val_mse, top1, top5
+    # columns: stgx.cli._CURVE_COLS (epoch, train/val losses, train/val
+    # top-k, durations); val top-k sit at columns 7/8
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 3.5))
     ax1.plot(data[:, 0], data[:, 1], label="train CE")
     ax1.plot(data[:, 0], data[:, 3], label="val CE")
     ax1.set_xlabel("epoch")
     ax1.set_ylabel("loss")
     ax1.legend()
-    ax2.plot(data[:, 0], data[:, 5], label="top-1")
-    ax2.plot(data[:, 0], data[:, 6], label="top-5")
+    ax2.plot(data[:, 0], data[:, 7], label="top-1")
+    ax2.plot(data[:, 0], data[:, 8], label="top-5")
     ax2.set_xlabel("epoch")
     ax2.set_ylabel("val accuracy")
     ax2.set_ylim(0, 1)

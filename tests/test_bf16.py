@@ -57,8 +57,9 @@ def test_bf16_grads_close_to_fp32():
         tr = _trainer(dt)
         params, _ = tr.init(jnp.asarray(x[None]))
         xd, yd, mask = tr._prepare(x, y)
-        grads, ce, mse = tr._grad_step(xd.shape)(
-            params, xd, yd, mask, 1.0, jax.random.PRNGKey(0)
+        grads, ce, mse, *_ = tr._grad_step(xd.shape)(
+            params, xd, yd, mask, 1.0, jax.random.PRNGKey(0),
+            jnp.asarray(0.0, jnp.float32),
         )
         leaves = jax.tree_util.tree_leaves(grads)
         assert all(l.dtype == jnp.float32 for l in leaves)
