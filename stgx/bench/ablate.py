@@ -69,6 +69,10 @@ def _variants():
         return y if b is None else y + jnp.sum(b, 0).astype(x.dtype)
 
     import stgx.ops.temporal as temporal
+    from stgx.ops.pallas_acc import causal_accumulate_pallas
+
+    def _pallas_acc(x, kernel_size, stride):
+        return causal_accumulate_pallas(x, kernel_size, stride)
 
     return {
         "full": [],
@@ -81,9 +85,13 @@ def _variants():
                         temporal._slices_accumulate)],
         "acc_toeplitz": [(rtstgcn, "causal_accumulate",
                           temporal._block_toeplitz_accumulate)],
+        "acc_pallas": [(rtstgcn, "causal_accumulate", _pallas_acc)],
         "no_agg": [(graph_conv, "gcn_aggregate", broadcast_agg)],
         "matmul_only": [(stgcn, "partitioned_gcn", matmul_only),
                         (graph_conv, "partitioned_gcn", matmul_only)],
+        # partitioned_gcn reads the module global at trace time, so patching
+        # _IMPL flips every call site
+        "gcn_wfirst": [(graph_conv, "_IMPL", "einsum_wfirst")],
         "fwd_only": [],
     }
 

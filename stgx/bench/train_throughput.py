@@ -6,9 +6,10 @@ of the chip's matmul speed-of-light, using the analytic per-frame MACs
 (stgx/utils/flops.py; the reference publishes the same MACs figures,
 /root/reference/README.md:263-272).
 
-Tunnel-TPU-safe measurement (see .claude/skills/verify): host readback in
-the timed region and a slope between two stacked-trial counts to cancel
-the fixed per-dispatch RTT.
+Tunnel-TPU-safe measurement (see .claude/skills/verify): the step is
+scanned S times on-device so one timed region is one dispatch, host
+readback forces completion, and the slope between two scan lengths cancels
+the per-dispatch RTT and its jitter.
 
 Run: ``python -m stgx.bench.train_throughput [--dtype bfloat16] [--remat]``
 """
@@ -28,15 +29,25 @@ _V5E_PEAK_TFLOPS = 197.0
 
 
 def measure_train_throughput(
-    model, loss, frames_per_trial=1024, trial_counts=(2, 8), dtype=None,
-    iters=6, seed=0, fwd_only=False,
+    model, loss, frames_per_trial=1024, trials=8, scan_lengths=(2, 10),
+    dtype=None, iters=3, seed=0, fwd_only=False,
 ):
-    """Returns (frames_per_second, seconds_per_step_at_max) via RTT-free
-    slope between the two ``trial_counts`` stack sizes. ``fwd_only`` drops
-    the grad/adam half (forward + loss only) for ablation."""
+    """Returns (frames_per_second, seconds_per_step).
+
+    The train step runs ``S`` times *on-device* inside one ``lax.scan``
+    (params/opt-state threaded as the carry), so a timed region is a single
+    dispatch; per-step cost is the slope between the two ``scan_lengths``.
+    Per-dispatch host costs — the tunnel's ~30 ms RTT *and its jitter*,
+    which drowned a per-step slope taken across separate dispatches (20%
+    drift between repeats of the same variant in one process) — cancel in
+    the on-device slope. ``iters`` timed dispatches per length; the minimum
+    is kept (jitter is one-sided). ``fwd_only`` drops the grad/adam half
+    (forward + loss only) for ablation; the carry then threads the loss back
+    in so the scan body isn't hoisted."""
     import jax
     import jax.numpy as jnp
     import optax
+    from jax import lax
 
     tx = optax.adam(1e-4)
     l_frames = frames_per_trial
@@ -56,32 +67,52 @@ def measure_train_throughput(
             return ce + mse
 
         if fwd_only:
-            return params, opt_state, loss_fn(params)
+            # fold the loss into params' first leaf so iteration i+1 depends
+            # on iteration i — otherwise XLA hoists the whole scan body
+            l = loss_fn(params)
+            leaves, treedef = jax.tree.flatten(params)
+            leaves[0] = leaves[0] + 0.0 * l
+            return jax.tree.unflatten(treedef, leaves), opt_state, l
         l, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, l
 
-    fn = jax.jit(train_step, donate_argnums=(0, 1))
+    def make_many(s):
+        def many(params, opt_state, x, y, mask):
+            def body(carry, _):
+                p, o = carry
+                p, o, l = train_step(p, o, x, y, mask)
+                return (p, o), l
+
+            (p, o), ls = lax.scan(body, (params, opt_state), None, length=s)
+            return p, o, ls[-1]
+
+        return jax.jit(many, donate_argnums=(0, 1))
+
     rng = np.random.default_rng(seed)
+    x = jnp.asarray(
+        rng.normal(size=(trials, l_frames, 25, 3)).astype(np.float32)
+    )
+    y = jnp.asarray(rng.integers(0, 52, size=(trials, l_frames)))
+    mask = jnp.ones((trials, l_frames), jnp.float32)
+
     res = {}
-    for n in trial_counts:
-        x = jnp.asarray(
-            rng.normal(size=(n, l_frames, 25, 3)).astype(np.float32)
-        )
-        y = jnp.asarray(rng.integers(0, 52, size=(n, l_frames)))
-        mask = jnp.ones((n, l_frames), jnp.float32)
+    for s in scan_lengths:
+        fn = make_many(s)
         params = model.init(jax.random.PRNGKey(0), x[:1, :64])
         opt_state = tx.init(params)
         params, opt_state, l = fn(params, opt_state, x, y, mask)  # compile
         np.asarray(l)
-        t0 = time.perf_counter()
+        best = float("inf")
         for _ in range(iters):
+            t0 = time.perf_counter()
             params, opt_state, l = fn(params, opt_state, x, y, mask)
             np.asarray(l)  # host readback: force real completion
-        res[n] = (time.perf_counter() - t0) / iters
-    n0, n1 = min(trial_counts), max(trial_counts)
-    sec_per_frame = (res[n1] - res[n0]) / ((n1 - n0) * l_frames)
-    return 1.0 / sec_per_frame, res[n1]
+            best = min(best, time.perf_counter() - t0)
+        res[s] = best
+    s0, s1 = min(scan_lengths), max(scan_lengths)
+    sec_per_step = (res[s1] - res[s0]) / (s1 - s0)
+    return (trials * l_frames) / sec_per_step, sec_per_step
 
 
 def main(argv=None):

@@ -35,10 +35,11 @@ _IMPL = os.environ.get("STGX_GCN_IMPL", "einsum")
 
 
 def set_gcn_impl(name: str) -> None:
-    """Select the graph-conv backend ("einsum" | "pallas"); also settable
-    via the STGX_GCN_IMPL env var or the `arch.gcn_impl` config key."""
+    """Select the graph-conv backend ("einsum" | "einsum_wfirst" |
+    "pallas"); also settable via the STGX_GCN_IMPL env var or the
+    `arch.gcn_impl` config key."""
     global _IMPL
-    if name not in ("einsum", "pallas"):
+    if name not in ("einsum", "einsum_wfirst", "pallas"):
         raise ValueError(f"unknown gcn impl: {name!r}")
     _IMPL = name
 
@@ -88,10 +89,23 @@ def partitioned_gcn(x, A, W, b=None):
         from stgx.ops.pallas_gcn import partitioned_gcn_pallas
 
         return partitioned_gcn_pallas(x, A, W, b)
-    agg = gcn_aggregate(x, A)
-    # one MXU matmul over the stacked (P, C_in) contraction dim
-    y = jnp.einsum("nlwpc,pcd->nlwd", agg, W, preferred_element_type=jnp.float32)
-    y = y.astype(x.dtype)
+    if _IMPL == "einsum_wfirst":
+        # contract channels first: one big (C_in -> P*C_out) MXU matmul
+        # WRITES the P-expanded intermediate, the tiny V-aggregation reads
+        # it. Same FLOPs as aggregate-first; different producer/consumer
+        # efficiency for the 3x intermediate's HBM traffic.
+        z = jnp.einsum(
+            "nlvc,pcd->nlvpd", x, W, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        y = jnp.einsum(
+            "nlvpd,pvw->nlwd", z, A, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    else:
+        agg = gcn_aggregate(x, A)
+        # one MXU matmul over the stacked (P, C_in) contraction dim
+        y = jnp.einsum(
+            "nlwpc,pcd->nlwd", agg, W, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
     if b is not None:
         y = y + jnp.einsum("pvw,pd->wd", A, b).astype(x.dtype)
     return y

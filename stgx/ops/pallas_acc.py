@@ -2,20 +2,31 @@
 
 ``y[t] = sum_{j=0}^{K-1} x[t - j*stride]`` — the batch form of the
 reference's FIFO accumulator (/root/reference/models/rtstgcn/rtstgcn.py:
-368-379 intent; see stgx/ops/temporal.py). The op is pure bandwidth: K ≤ 9
-VPU adds per element, so the floor is one HBM read + one write per
-direction. XLA's formulations all over-read: ``lax.reduce_window`` costs
-~1.1 µs/frame marginal in the bf16 train step (its select-and-scatter-style
-VJP dominates) and an unrolled shifted-slice sum ~1.6 µs/frame (measured on
-v5e, stgx/bench/ablate.py) against a ~0.17 µs two-pass floor.
+368-379 intent; see stgx/ops/temporal.py). The op is pure bandwidth (K ≤ 9
+adds per element), so the floor is one HBM read + one write per direction.
+Every XLA formulation over-reads (measured marginal bf16 train-step cost on
+v5e, stgx/bench/ablate.py: ``lax.reduce_window`` ~1.2 µs/frame, shifted
+slices and a two-einsum block-Toeplitz worse) against a ~0.17 µs two-pass
+floor.
 
 Kernel shape: ``(N, L, V, C)`` is viewed as ``(N, L, V*C)``; the grid is
 ``(N, V*C // TQ)`` and each program holds the FULL time axis of one lane
-tile in VMEM (``L·TQ ≤ ~1 MB`` for the model family's shapes — the same
-whole-row choice as the shift kernel, stgx/ops/shift.py:120-123). That
-keeps index maps trivial (dense prefetch pipelining) and needs no
-halo-block arithmetic: the causal history is materialized by one in-VMEM
-zero-pad. The custom VJP runs the mirrored (anti-causal) kernel.
+tile in VMEM. Inside the kernel the window-sum is computed on the **MXU**
+as a block-banded Toeplitz product — per 128-frame time block,
+``y_b = T0 @ x_b + T1 @ x_{b-1}`` with constant 0/1 band matrices — rather
+than as VPU shifted adds: sublane shifts by the 1..8-row tap offsets are
+packed-format rotations Mosaic executes slowly for bf16 (a shifted-adds
+variant of this same kernel measured ~2.6 µs/frame marginal, worse than
+XLA), while the aligned 128×128 dots add only ~2·128 MACs/element (~1% of
+the model's matmul FLOPs) and no HBM traffic. The custom VJP is the
+mirrored product (transposed bands, halo from the next block).
+
+Measured (scan-slope, one v5e, bf16 train step): this kernel 2.17 µs/frame
+marginal vs reduce_window's 1.25 — the dedicated kernel is ~13× over its
+own read+write traffic model while XLA's reduce_window graph beats it, so
+(as with stgx/ops/pallas_gcn.py) the XLA form stays the default and this
+kernel is the selectable alternative (``set_acc_impl("pallas")``) and the
+Mosaic reference for the op.
 """
 
 from __future__ import annotations
@@ -24,12 +35,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["causal_accumulate_pallas", "pallas_acc_supported"]
 
-# VMEM budget for (in + out + padded scratch) × double buffering
+_TB = 128  # time block = MXU tile
+# VMEM budget for (in + out) × double buffering + scratch
 _VMEM_BYTES = 10 * 2**20
 
 
@@ -37,28 +50,52 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _fwd_kernel(x_ref, o_ref, *, k: int, stride: int, length: int):
-    """y[t] = Σ_j x[t - j·s]; frames before the start are zero."""
-    pad = (k - 1) * stride
-    z = jnp.pad(x_ref[0], ((pad, 0), (0, 0)))  # (pad + L, TQ) in VMEM
-    acc = z[: length]  # oldest tap (j = k-1) first
-    for j in range(k - 2, -1, -1):
-        off = pad - j * stride
-        acc = acc + z[off : off + length]
-    o_ref[0] = acc
+def _bands(k: int, stride: int):
+    """(T0, T1): y_b = T0 @ x_b + T1 @ x_{b-1}. ``T0[i, j] = [i - j ∈
+    taps]``, ``T1[i, j] = [i + TB - j ∈ taps]``, taps = {0, stride, ...,
+    (k-1)·stride}."""
+    i = np.arange(_TB)[:, None]
+    j = np.arange(_TB)[None, :]
+
+    def band(d):
+        return (
+            (d >= 0) & (d <= (k - 1) * stride) & (d % stride == 0)
+        ).astype(np.float32)
+
+    return band(i - j), band(i + _TB - j)
 
 
-def _bwd_kernel(g_ref, o_ref, *, k: int, stride: int, length: int):
-    """dx[t] = Σ_j dy[t + j·s] (anti-causal). No masking needed: blocks span
-    the full time axis (never padded on L), and ragged lane-tile padding
-    only feeds padded lanes — the op mixes nothing across lanes."""
-    pad = (k - 1) * stride
-    z = jnp.pad(g_ref[0], ((0, pad), (0, 0)))
-    acc = z[pad :]  # farthest-future tap first (mirror of forward)
-    for j in range(k - 2, -1, -1):
-        off = j * stride
-        acc = acc + z[off : off + length]
-    o_ref[0] = acc
+def _kernel(x_ref, t0_ref, t1_ref, o_ref, *, length: int, reverse: bool):
+    """One (1, L, TQ) lane tile. ``reverse`` runs the anti-causal transpose
+    (the VJP): halo from the next block instead of the previous."""
+    x = x_ref[0]
+    t0 = t0_ref[...]
+    t1 = t1_ref[...]
+    nb = -(-length // _TB)
+    for b in range(nb):
+        lo = b * _TB
+        rows = min(_TB, length - lo)
+        xb = x[lo : lo + rows]
+        acc = jax.lax.dot_general(
+            t0[:rows, :rows], xb,
+            dimension_numbers=((( 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if not reverse and b > 0:
+            # taps reaching into the previous time block
+            acc = acc + jax.lax.dot_general(
+                t1[:rows, :], x[lo - _TB : lo],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        if reverse and b + 1 < nb:
+            nrows = min(_TB, length - (lo + _TB))
+            acc = acc + jax.lax.dot_general(
+                t1[:rows, :nrows], x[lo + _TB : lo + _TB + nrows],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        o_ref[0, lo : lo + rows] = acc.astype(o_ref.dtype)
 
 
 def _pick_tq(l: int, q: int, itemsize: int) -> int:
@@ -73,27 +110,39 @@ def pallas_acc_supported(l: int, q: int, itemsize: int = 2) -> bool:
     return 6 * l * 128 * itemsize <= _VMEM_BYTES
 
 
-def _call(kernel, x3):
+def _call(x3, k, stride, reverse):
     n, l, q = x3.shape
     tq = _pick_tq(l, q, x3.dtype.itemsize)
+    t0, t1 = _bands(k, stride)
+    if reverse:
+        # transpose of the block-Toeplitz operator: T0ᵀ within-block, T1ᵀ
+        # pulling from the NEXT block
+        t0, t1 = t0.T, t1.T
+    t0 = jnp.asarray(t0, x3.dtype)
+    t1 = jnp.asarray(t1, x3.dtype)
     return pl.pallas_call(
-        kernel,
+        functools.partial(_kernel, length=l, reverse=reverse),
         out_shape=jax.ShapeDtypeStruct((n, l, q), x3.dtype),
         grid=(n, pl.cdiv(q, tq)),
         in_specs=[
             pl.BlockSpec((1, l, tq), lambda b, j: (b, 0, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TB, _TB), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TB, _TB), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, l, tq), lambda b, j: (b, 0, j),
                                memory_space=pltpu.VMEM),
-    )(x3)
+    )(x3, t0, t1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def causal_accumulate_pallas(x, kernel_size: int, stride: int):
     """Drop-in fused form of :func:`stgx.ops.temporal.causal_accumulate`
     (asserted equal in tests/test_pallas_acc.py). TPU backend only; the
-    dispatcher checks :func:`pallas_acc_supported` first."""
+    dispatcher checks :func:`pallas_acc_supported` first. Requires
+    ``(K-1)·stride ≤ 128``."""
     return _fwd_impl(x, kernel_size, stride)
 
 
@@ -101,11 +150,12 @@ def _fwd_impl(x, kernel_size, stride):
     k = kernel_size // stride
     if k <= 1:
         return x
+    if (k - 1) * stride > _TB:
+        raise ValueError(
+            f"window span {(k - 1) * stride} exceeds the {_TB}-frame block"
+        )
     n, l, v, c = x.shape
-    y = _call(
-        functools.partial(_fwd_kernel, k=k, stride=stride, length=l),
-        x.reshape(n, l, v * c),
-    )
+    y = _call(x.reshape(n, l, v * c), k, stride, reverse=False)
     return y.reshape(n, l, v, c)
 
 
@@ -118,10 +168,7 @@ def _acc_bwd(kernel_size, stride, _, g):
     if k <= 1:
         return (g,)
     n, l, v, c = g.shape
-    dx = _call(
-        functools.partial(_bwd_kernel, k=k, stride=stride, length=l),
-        g.reshape(n, l, v * c),
-    )
+    dx = _call(g.reshape(n, l, v * c), k, stride, reverse=True)
     return (dx.reshape(n, l, v, c),)
 
 

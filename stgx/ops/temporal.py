@@ -118,11 +118,12 @@ def causal_accumulate(x, kernel_size: int, stride: int):
     and A/B-able in one process with ``stgx.bench.ablate``: "reduce_window"
     (default), "slices", "toeplitz" (block-Toeplitz MXU matmuls), "pallas"
     (fused VMEM kernel, stgx/ops/pallas_acc.py). Measured marginal bf16
-    train-step cost on one v5e (µs/frame, within-run comparisons only — the
-    remote tunnel makes cross-process numbers drift ±25%): reduce_window
-    ~1.1-1.3 (best), pallas ~2.3, slices worst. A cumsum-difference
-    formulation looks cheaper on paper but XLA lowers ``cumsum`` itself to
-    a full-length reduce-window — O(L) per element; the reference's dense
+    train-step cost on one v5e (on-device scan slope, ~1% repeatability):
+    reduce_window 1.25 µs/frame (best), pallas MXU-Toeplitz 2.17, XLA
+    toeplitz 3.1, slices worst — XLA's reduce_window graph beats every
+    hand-scheduled form on these shapes. A cumsum-difference formulation
+    looks cheaper on paper but XLA lowers ``cumsum`` itself to a
+    full-length reduce-window — O(L) per element; the reference's dense
     L×L Toeplitz matmul (rtstgcn.py:368-379) wastes O(L²) work (the
     "toeplitz" form here is its O(L·128) block-banded repair).
     """
