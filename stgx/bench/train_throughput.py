@@ -26,6 +26,9 @@ __all__ = ["measure_train_throughput"]
 # MXU peak for one TPU v5e chip (bf16 inputs — also what fp32 matmuls feed
 # at default precision). Override via --peak-tflops for other chips.
 _V5E_PEAK_TFLOPS = 197.0
+# HBM bandwidth for one v5e chip — the binding roofline for this model's
+# small-channel matmuls (see stgx.utils.flops.rt_stgcn_train_hbm_bytes_per_frame)
+_V5E_HBM_GBPS = 819.0
 
 
 def measure_train_throughput(
@@ -145,11 +148,19 @@ def main(argv=None):
     flops_per_frame = 3 * 2 * rt_stgcn_macs_per_frame()
     achieved_tflops = fps * flops_per_frame / 1e12
     sol = achieved_tflops / args.peak_tflops
+    from stgx.utils.flops import rt_stgcn_train_hbm_bytes_per_frame
+
+    bytes_per_frame = rt_stgcn_train_hbm_bytes_per_frame(
+        dtype_bytes=2 if args.dtype == "bfloat16" else 4
+    )
+    hbm_gbps = fps * bytes_per_frame / 1e9
+    hbm_sol = hbm_gbps / _V5E_HBM_GBPS
     print(
         f"rt-st-gcn train step: {fps / 1e3:.1f}k frames/s "
         f"({achieved_tflops:.2f} model-TFLOP/s, {sol * 100:.1f}% of "
-        f"{args.peak_tflops:.0f} TF peak) "
-        f"[dtype={args.dtype or 'float32'} remat={args.remat} "
+        f"{args.peak_tflops:.0f} TF MXU peak; {hbm_gbps:.0f} GB/s minimal "
+        f"traffic, {hbm_sol * 100:.0f}% of {_V5E_HBM_GBPS:.0f} GB/s HBM "
+        f"roofline) [dtype={args.dtype or 'float32'} remat={args.remat} "
         f"step={sec_step * 1e3:.1f}ms]"
     )
 

@@ -456,6 +456,47 @@ def cmd_benchmark(cfg):
     return run_streaming_benchmark(cfg)
 
 
+def cmd_export(cfg):
+    """Export the trained streaming cell to a StableHLO artifact
+    (stgx/export.py) — checkpoint resolution identical to ``test``."""
+    from stgx.export import save_streaming_cell
+    from stgx.utils.checkpoint import latest_epoch, restore_checkpoint
+
+    trainer, _, val_ds, _, _ = _build_all(cfg)
+    out_dir = cfg["processor"]["out"]
+    os.makedirs(out_dir, exist_ok=True)
+    log = _log_factory(cfg["job"])
+
+    x0, _ = val_ds[0]
+    sample = (
+        x0[None]
+        if trainer.kind.startswith("frame")
+        else np.zeros(
+            (4, trainer.receptive_field, x0.shape[1], x0.shape[2]), np.float32
+        )
+    )
+    params, opt_state = trainer.init(sample)
+    params = maybe_graft_teacher(cfg, trainer, params, log)
+    if cfg["processor"].get("torch_checkpoint"):
+        params, _, _ = maybe_import_torch_checkpoint(
+            cfg, trainer, params, opt_state, log, want_optimizer=False
+        )
+    else:
+        ckpt = cfg["processor"].get("checkpoint") or latest_epoch(out_dir)
+        if ckpt:
+            _, params, _ = restore_checkpoint(ckpt, params, opt_state)
+            log(f"loaded checkpoint {ckpt}")
+
+    path = cfg["processor"].get("export") or os.path.join(
+        out_dir, "stream_cell.stablehlo"
+    )
+    save_streaming_cell(
+        path, trainer.model, cfg["processor"]["model"], params
+    )
+    log(f"exported streaming cell → {path}")
+    return 0
+
+
 def main(argv=None):
     from stgx.config import parse_args
 
@@ -474,9 +515,12 @@ def main(argv=None):
         import jax
 
         jax.distributed.initialize()
-    return {"train": cmd_train, "test": cmd_test, "benchmark": cmd_benchmark}[
-        command
-    ](cfg)
+    return {
+        "train": cmd_train,
+        "test": cmd_test,
+        "benchmark": cmd_benchmark,
+        "export": cmd_export,
+    }[command](cfg)
 
 
 if __name__ == "__main__":

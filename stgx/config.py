@@ -101,6 +101,7 @@ def make_parser() -> argparse.ArgumentParser:
         ("train", "train a model, validating each epoch"),
         ("test", "evaluate a trained checkpoint"),
         ("benchmark", "streaming per-frame latency + int8 benchmark"),
+        ("export", "export the streaming cell to StableHLO for serving"),
     ]:
         sp = sub.add_parser(name, help=doc)
         sp.add_argument("--config", type=str, default=None, help="JSON config")

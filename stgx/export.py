@@ -1,0 +1,77 @@
+"""Ahead-of-time export of the streaming inference cell (StableHLO).
+
+The reference's "deployment" story ends at a simulated benchmark loop inside
+the torch process (/root/reference/processor.py:842-901). stgx adds a real
+deployment artifact: the per-frame streaming cell — ``(state, frame) →
+(logits, state)`` with the trained weights baked in as constants — exported
+through ``jax.export`` to a serialized StableHLO blob that any JAX-free
+serving runtime (TF serving via saved-model import, IREE, a thin C++ PJRT
+driver) can load and execute, on TPU or CPU, with no Python model code.
+
+CLI: ``python -m stgx.cli export --config F [--set processor.export=PATH]``
+(defaults to ``<out>/stream_cell.stablehlo``). Round-trip pinned in
+tests/test_export.py: deserialize → stream a sequence → equals the in-JAX
+streaming outputs exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "export_streaming_cell",
+    "save_streaming_cell",
+    "load_streaming_cell",
+]
+
+
+def export_streaming_cell(model, name: str, params, batch: int = 1,
+                          dtype=jnp.float32):
+    """Exports the jitted per-frame cell with ``params`` closed over.
+
+    Returns a ``jax.export.Exported``; its calling convention is
+    ``call(state, x_t) -> (logits, state)`` with ``x_t`` shaped
+    ``(batch, V, C)`` and ``state`` the model's streaming carry pytree
+    (FIFO ring buffers + cursors; window buffer for window classifiers).
+    """
+    from jax import export as jexport
+
+    from stgx.bench.streaming import _streaming_fns, _window_stream_fns
+
+    init_state, stream_step = _streaming_fns(name)
+    if init_state is None:
+        window = getattr(model, "receptive_field", None) or 50
+        init_state, stream_step = _window_stream_fns(model, window)
+    state0 = init_state(model, params, batch=batch, dtype=dtype)
+
+    def cell(state, x_t):
+        logits, new_state = stream_step(model, params, state, x_t)
+        return logits, new_state
+
+    v = model.graph["num_node"]
+    c = model.in_feat
+    x_spec = jax.ShapeDtypeStruct((batch, v, c), dtype)
+    state_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), state0
+    )
+    exp = jexport.export(jax.jit(cell))(state_spec, x_spec)
+    return exp, state0
+
+
+def save_streaming_cell(path: str, model, name: str, params, batch: int = 1,
+                        dtype=jnp.float32) -> str:
+    exp, _ = export_streaming_cell(model, name, params, batch, dtype)
+    with open(path, "wb") as f:
+        f.write(exp.serialize())
+    return path
+
+
+def load_streaming_cell(path: str):
+    """Returns the deserialized cell; drive it with
+    ``logits, state = cell.call(state, x_t)``."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        return jexport.deserialize(bytearray(f.read()))

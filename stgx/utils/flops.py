@@ -11,6 +11,7 @@ __all__ = [
     "rt_stgcn_macs_per_frame",
     "costgcn_macs_per_frame",
     "stgcn_macs_per_window",
+    "rt_stgcn_train_hbm_bytes_per_frame",
     "param_words",
 ]
 
@@ -89,6 +90,43 @@ def stgcn_macs_per_window(
         l = lo
     macs += out_ch[-1] * num_classes
     return macs
+
+
+def rt_stgcn_train_hbm_bytes_per_frame(
+    num_joints: int = 25,
+    partitions: int = 3,
+    in_feat: int = 3,
+    in_ch=(64, 64, 64, 64, 128, 128, 128, 256, 256),
+    out_ch=(64, 64, 64, 128, 128, 128, 256, 256, 256),
+    dtype_bytes: int = 2,
+    bwd_factor: float = 2.0,
+) -> float:
+    """Minimal HBM bytes per frame for the fwd+bwd RT-ST-GCN train step —
+    the *memory* speed-of-light that bounds this model on TPU (its matmuls
+    are small-channel, so the MXU roofline is far above the HBM one).
+
+    Perfect-per-op-fusion model, per layer: aggregate reads x and writes
+    the P-expanded intermediate; the gcn matmul reads it back and writes y;
+    the causal window-sum is read + write; batch-norm is one stats read
+    plus a normalize read + write (ReLU and the residual add fuse into it,
+    one extra read of x for the residual). Backward counted as
+    ``bwd_factor`` × forward (re-read saved activations, write activation
+    grads, weight-grad reductions). Parameter/optimizer traffic is per-step
+    (not per-frame) and excluded.
+    """
+    v, p = num_joints, partitions
+    bytes_fwd = v * (in_feat + in_ch[0])  # fcn_in read + write
+    for cin, cout in zip(in_ch, out_ch):
+        a_in, a_out = v * cin, v * cout
+        bytes_fwd += (
+            2 * a_in        # aggregate read x + residual read
+            + 2 * p * a_in  # P-expanded intermediate write + read
+            + a_out         # matmul write
+            + 2 * a_out     # window-sum read + write
+            + 3 * a_out     # BN stats read + normalize read + write
+        )
+    bytes_fwd += out_ch[-1]  # head read (post joint-pool)
+    return bytes_fwd * dtype_bytes * (1.0 + bwd_factor)
 
 
 def param_words(params) -> int:

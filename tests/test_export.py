@@ -1,0 +1,100 @@
+"""StableHLO export of the streaming cell: serialize → deserialize → drive
+a sequence frame-by-frame ≡ the in-JAX streaming outputs (stgx/export.py)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stgx.graph import load_skeleton
+from stgx.models.rtstgcn import RtStgcn, stream_sequence
+
+
+def _model():
+    model = RtStgcn(
+        num_classes=5,
+        in_feat=6,
+        graph=load_skeleton("imu_fogit_ABCD"),
+        kernel=3,
+        in_ch=(8, 8),
+        out_ch=(8, 8),
+        stride=(1, 1),
+        residual=(1, 1),
+        dropout=(0.0, 0.0),
+        importance=True,
+        normalization="LayerNorm",
+    )
+    x = np.random.default_rng(1).normal(size=(2, 20, 7, 6)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    return model, params, x
+
+
+def test_export_roundtrip(tmp_path):
+    from stgx.export import load_streaming_cell, save_streaming_cell
+
+    model, params, x = _model()
+    y_ref, _ = stream_sequence(model, params, jnp.asarray(x))
+
+    path = os.path.join(tmp_path, "cell.stablehlo")
+    save_streaming_cell(path, model, "rt-st-gcn", params, batch=2)
+    cell = load_streaming_cell(path)
+
+    from stgx.models.rtstgcn import init_stream_state
+
+    state = init_stream_state(model, params, batch=2)
+    outs = []
+    for t in range(x.shape[1]):
+        logits, state = cell.call(state, jnp.asarray(x[:, t]))
+        outs.append(np.asarray(logits))
+    got = np.stack(outs, axis=1)
+    np.testing.assert_allclose(got, np.asarray(y_ref), atol=1e-5, rtol=1e-5)
+
+
+def test_export_cli(tmp_path):
+    """CLI `export` writes the artifact next to the other outputs."""
+    import json
+    import subprocess
+    import sys
+
+    from stgx.data.synth import generate
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data_dir = os.path.join(tmp_path, "data")
+    generate(data_dir, num_train=2, num_val=2, min_len=60, max_len=80, seed=1)
+    cfg = {
+        "processor": {
+            "model": "rt-st-gcn",
+            "data": data_dir,
+            "out": os.path.join(tmp_path, "out"),
+            "actions": os.path.join(data_dir, "actions.txt"),
+            "graph": "imu_fogit_ABCD",
+            "demo": [],
+            "iou_threshold": [0.5],
+        },
+        "arch": {
+            "in_feat": 6,
+            "normalization": "LayerNorm",
+            "rt-st-gcn": {
+                "layers": 2, "kernel": 3, "in_ch": [8, 8], "out_ch": [8, 8],
+                "stride": [1, 1], "residual": [1, 1], "dropout": [0, 0],
+                "importance": True,
+            },
+        },
+        "optimizer": {
+            "seed": 1, "epochs": 1, "checkpoint_indices": [],
+            "learning_rate": 1e-3, "learning_rate_decay": 1.0,
+            "batch_size": 2,
+        },
+        "job": {"verbose": 0, "platform": "cpu"},
+    }
+    cfg_path = os.path.join(tmp_path, "cfg.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    r = subprocess.run(
+        [sys.executable, "-m", "stgx.cli", "export", "--config", cfg_path],
+        capture_output=True, text=True, cwd=repo, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = os.path.join(cfg["processor"]["out"], "stream_cell.stablehlo")
+    assert os.path.exists(out) and os.path.getsize(out) > 0
