@@ -93,6 +93,8 @@ def _variants():
         # _IMPL flips every call site
         "gcn_wfirst": [(graph_conv, "_IMPL", "einsum_wfirst")],
         "fwd_only": [],
+        "no_mask": [],
+        "remat": [],
     }
 
 
@@ -119,12 +121,13 @@ def main(argv=None):
     for name in names:
         model = MODELS["rt-st-gcn"](
             num_classes=52, in_feat=3, graph=load_skeleton("pku-mmd"),
-            normalization="BatchNorm",
+            normalization="BatchNorm", remat=(name == "remat"),
         )
         with _patched(variants[name]):
             fps, sec = measure_train_throughput(
                 model, loss, frames_per_trial=args.frames, dtype=dtype,
                 fwd_only=(name == "fwd_only"),
+                use_mask=(name != "no_mask"),
             )
         results[name] = fps
         print(json.dumps({"variant": name, "frames_per_s": round(fps),

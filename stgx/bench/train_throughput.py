@@ -33,7 +33,7 @@ _V5E_HBM_GBPS = 819.0
 
 def measure_train_throughput(
     model, loss, frames_per_trial=1024, trials=8, scan_lengths=(2, 10),
-    dtype=None, iters=3, seed=0, fwd_only=False,
+    dtype=None, iters=3, seed=0, fwd_only=False, use_mask=True,
 ):
     """Returns (frames_per_second, seconds_per_step).
 
@@ -56,6 +56,11 @@ def measure_train_throughput(
     l_frames = frames_per_trial
 
     def train_step(params, opt_state, x, y, mask):
+        if not use_mask:
+            # ungated path for full buckets (mask statically all-ones —
+            # the Trainer's mask-elision case)
+            mask = None
+
         def loss_fn(p):
             if dtype is not None:
                 p = jax.tree.map(

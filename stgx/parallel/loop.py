@@ -248,7 +248,11 @@ class Trainer:
             # window models: x is already a window tensor (B, W, V, C) whose
             # batch dim is time; predictions form the series (1, B, C).
             # A fully-padded window is masked out of batch-norm statistics.
-            wmask = jnp.broadcast_to(mask[:, None], (x.shape[0], x.shape[1]))
+            wmask = (
+                None
+                if mask is None
+                else jnp.broadcast_to(mask[:, None], (x.shape[0], x.shape[1]))
+            )
             out = self.model.apply(
                 params, x, *eargs, train=train, mask=wmask, rngs=rngs
             )
@@ -303,7 +307,11 @@ class Trainer:
                     train=True, rngs=rngs, epoch=epoch,
                 )
                 out = out.astype(jnp.float32)
-                lmask = mask[None] if self.kind.startswith("window") else mask
+                lmask = (
+                    mask[None]
+                    if mask is not None and self.kind.startswith("window")
+                    else mask
+                )
                 ly = y[None] if self.kind.startswith("window") else y
                 ce, mse = self.loss(out, ly, lmask)
                 # train top-k from the training forward, as the reference
@@ -332,7 +340,11 @@ class Trainer:
                 train=False,
             )
             out = out.astype(jnp.float32)
-            lmask = mask[None] if self.kind.startswith("window") else mask
+            lmask = (
+                mask[None]
+                if mask is not None and self.kind.startswith("window")
+                else mask
+            )
             ly = y[None] if self.kind.startswith("window") else y
             ce, mse = self.loss(out, ly, lmask)
             top1, _, c1, c5, tot = self.statistics(out, ly, lmask)
@@ -345,7 +357,15 @@ class Trainer:
     # -- trial preparation -----------------------------------------------------
 
     def _prepare(self, x, y):
-        """Bucket-pad one trial and lay it out for the model kind."""
+        """Bucket-pad one trial and lay it out for the model kind.
+
+        The frame mask is always materialized, even for exactly-full
+        buckets: mask elision (None for full buckets) measured a 0.4%
+        step-time difference (XLA fuses the mask math for free,
+        stgx/bench/ablate.py no_mask variant) while doubling the number of
+        traced step variants per bucket — not worth the tunnel's compile
+        cost. The jitted steps still accept ``mask=None`` (the ungated
+        graph) for direct library use."""
         xp, yp, mask = pad_to_bucket(x, y, self.bucket)
         if self.kind in ("frame", "frame_ms"):
             return (
@@ -371,7 +391,7 @@ class Trainer:
         chunks = []
         for i in range(n_chunks):
             sl = slice(i * seg, min((i + 1) * seg, b))
-            chunks.append((xd[sl], yd[sl], mask[sl]))
+            chunks.append((xd[sl], yd[sl], None if mask is None else mask[sl]))
         return chunks
 
     # -- epoch loops -----------------------------------------------------------
