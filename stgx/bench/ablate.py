@@ -63,6 +63,31 @@ def _variants():
         n, l, v, c = x.shape
         return jnp.broadcast_to(x[:, :, :, None], (n, l, v, A.shape[0], c))
 
+    def gcn_native_out(x, A, W, b=None):
+        # same math, but the dots emit x.dtype directly instead of
+        # preferred fp32 + a cast (MXU accumulation is fp32 either way —
+        # this probes whether the converts fuse into the dot epilogues)
+        agg = jnp.einsum("nlvc,pvw->nlwpc", x, A)
+        y = jnp.einsum("nlwpc,pcd->nlwd", agg, W)
+        if b is not None:
+            y = y + jnp.einsum("pvw,pd->wd", A, b).astype(y.dtype)
+        return y
+
+    def bn_native_stats(x, weight, bias, axes, eps=1e-5, mask=None):
+        # stats in the compute dtype (probes the cost of the fp32 upcast)
+        if mask is None:
+            mean = jnp.mean(x, axis=axes, keepdims=True)
+            var = jnp.mean(x * x, axis=axes, keepdims=True) - mean * mean
+        else:
+            m = mask[:, :, None, None].astype(x.dtype)
+            count = jnp.sum(m, axis=axes, keepdims=True) * (
+                x.shape[2] if 2 in axes else 1
+            )
+            mean = jnp.sum(x * m, axis=axes, keepdims=True) / count
+            var = jnp.sum(x * x * m, axis=axes, keepdims=True) / count \
+                - mean * mean
+        return weight * ((x - mean) / jnp.sqrt(var + eps)) + bias
+
     def matmul_only(x, A, W, b=None):
         y = jnp.einsum("nlvc,pcd->nlvd", x, W,
                        preferred_element_type=jnp.float32).astype(x.dtype)
@@ -95,6 +120,9 @@ def _variants():
         "fwd_only": [],
         "no_mask": [],
         "remat": [],
+        "dots_native": [(stgcn, "partitioned_gcn", gcn_native_out),
+                        (graph_conv, "partitioned_gcn", gcn_native_out)],
+        "norm_native": [(norms, "batch_norm", bn_native_stats)],
     }
 
 

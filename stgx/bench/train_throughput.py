@@ -34,6 +34,7 @@ _V5E_HBM_GBPS = 819.0
 def measure_train_throughput(
     model, loss, frames_per_trial=1024, trials=8, scan_lengths=(2, 10),
     dtype=None, iters=3, seed=0, fwd_only=False, use_mask=True,
+    kind="frame",
 ):
     """Returns (frames_per_second, seconds_per_step).
 
@@ -71,7 +72,16 @@ def measure_train_throughput(
             else:
                 x_ = x
             out = model.apply(p, x_, train=True, mask=mask)
-            ce, mse = loss(out.astype(jnp.float32), y, mask)
+            if kind == "window":
+                # window classifiers emit (B, C) per window; the per-frame
+                # series is the window batch (Trainer._frame_outputs)
+                ce, mse = loss(
+                    out.astype(jnp.float32)[None],
+                    y.reshape(1, -1),
+                    None if mask is None else mask[:, 0][None],
+                )
+            else:
+                ce, mse = loss(out.astype(jnp.float32), y, mask)
             return ce + mse
 
         if fwd_only:
@@ -98,11 +108,21 @@ def measure_train_throughput(
         return jax.jit(many, donate_argnums=(0, 1))
 
     rng = np.random.default_rng(seed)
-    x = jnp.asarray(
-        rng.normal(size=(trials, l_frames, 25, 3)).astype(np.float32)
-    )
-    y = jnp.asarray(rng.integers(0, 52, size=(trials, l_frames)))
-    mask = jnp.ones((trials, l_frames), jnp.float32)
+    if kind == "window":
+        # trials = windows per step; l_frames = receptive field W. One
+        # window classifies one frame in continual operation
+        # (WindowSegment.get_segment_rt), so windows/s IS frames/s.
+        x = jnp.asarray(
+            rng.normal(size=(trials, l_frames, 25, 3)).astype(np.float32)
+        )
+        y = jnp.asarray(rng.integers(0, 52, size=(trials,)))
+        mask = jnp.ones((trials, l_frames), jnp.float32)
+    else:
+        x = jnp.asarray(
+            rng.normal(size=(trials, l_frames, 25, 3)).astype(np.float32)
+        )
+        y = jnp.asarray(rng.integers(0, 52, size=(trials, l_frames)))
+        mask = jnp.ones((trials, l_frames), jnp.float32)
 
     res = {}
     for s in scan_lengths:
@@ -120,15 +140,20 @@ def measure_train_throughput(
         res[s] = best
     s0, s1 = min(scan_lengths), max(scan_lengths)
     sec_per_step = (res[s1] - res[s0]) / (s1 - s0)
-    return (trials * l_frames) / sec_per_step, sec_per_step
+    per_step = trials if kind == "window" else trials * l_frames
+    return per_step / sec_per_step, sec_per_step
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="rt-st-gcn",
+                    choices=["rt-st-gcn", "st-gcn"])
     ap.add_argument("--dtype", default=None, choices=[None, "bfloat16"],
                     help="compute dtype (default fp32 params end-to-end)")
     ap.add_argument("--remat", action="store_true")
-    ap.add_argument("--frames", type=int, default=1024)
+    ap.add_argument("--frames", type=int, default=1024,
+                    help="frames per stacked trial (rt) / windows per step "
+                    "(st-gcn, W=50 each)")
     ap.add_argument("--peak-tflops", type=float, default=_V5E_PEAK_TFLOPS)
     args = ap.parse_args(argv)
 
@@ -136,36 +161,64 @@ def main(argv=None):
 
     from stgx.graph import load_skeleton
     from stgx.models import MODELS
-    from stgx.utils.flops import rt_stgcn_macs_per_frame
+    from stgx.utils.flops import (
+        rt_stgcn_macs_per_frame,
+        stgcn_macs_per_window,
+    )
     from stgx.utils.loss import Loss
 
-    model = MODELS["rt-st-gcn"](
-        num_classes=52, in_feat=3, graph=load_skeleton("pku-mmd"),
-        normalization="BatchNorm", remat=args.remat,
-    )
+    kind = "window" if args.model == "st-gcn" else "frame"
+    if kind == "window":
+        # canonical 9-layer PKU-MMD ST-GCN on its 50-frame window
+        # (configs/pku-mmd/as_is/stgcn.json); one window classifies one
+        # frame in continual operation, so windows/s compares directly to
+        # the reference's frames-of-training-per-second
+        model = MODELS["st-gcn"](
+            num_classes=52, in_feat=3, graph=load_skeleton("pku-mmd"),
+            normalization="BatchNorm", remat=args.remat,
+        )
+        frames = 50
+        trials = max(1, args.frames // frames)
+    else:
+        model = MODELS["rt-st-gcn"](
+            num_classes=52, in_feat=3, graph=load_skeleton("pku-mmd"),
+            normalization="BatchNorm", remat=args.remat,
+        )
+        frames, trials = args.frames, 8
     loss = Loss(np.ones(52, np.float32), "logits")
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
 
     fps, sec_step = measure_train_throughput(
-        model, loss, frames_per_trial=args.frames, dtype=dtype
+        model, loss, frames_per_trial=frames, trials=trials, dtype=dtype,
+        kind=kind,
     )
     # fwd ≈ macs, bwd ≈ 2×fwd; 2 FLOPs per MAC
-    flops_per_frame = 3 * 2 * rt_stgcn_macs_per_frame()
+    unit_macs = (
+        stgcn_macs_per_window() if kind == "window"
+        else rt_stgcn_macs_per_frame()
+    )
+    flops_per_frame = 3 * 2 * unit_macs
     achieved_tflops = fps * flops_per_frame / 1e12
     sol = achieved_tflops / args.peak_tflops
-    from stgx.utils.flops import rt_stgcn_train_hbm_bytes_per_frame
+    unit = "windows" if kind == "window" else "frames"
+    hbm_note = ""
+    if kind != "window":
+        from stgx.utils.flops import rt_stgcn_train_hbm_bytes_per_frame
 
-    bytes_per_frame = rt_stgcn_train_hbm_bytes_per_frame(
-        dtype_bytes=2 if args.dtype == "bfloat16" else 4
-    )
-    hbm_gbps = fps * bytes_per_frame / 1e9
-    hbm_sol = hbm_gbps / _V5E_HBM_GBPS
+        bytes_per_frame = rt_stgcn_train_hbm_bytes_per_frame(
+            dtype_bytes=2 if args.dtype == "bfloat16" else 4
+        )
+        hbm_gbps = fps * bytes_per_frame / 1e9
+        hbm_sol = hbm_gbps / _V5E_HBM_GBPS
+        hbm_note = (
+            f"; {hbm_gbps:.0f} GB/s minimal traffic, {hbm_sol * 100:.0f}% "
+            f"of {_V5E_HBM_GBPS:.0f} GB/s HBM roofline"
+        )
     print(
-        f"rt-st-gcn train step: {fps / 1e3:.1f}k frames/s "
+        f"{args.model} train step: {fps / 1e3:.1f}k {unit}/s "
         f"({achieved_tflops:.2f} model-TFLOP/s, {sol * 100:.1f}% of "
-        f"{args.peak_tflops:.0f} TF MXU peak; {hbm_gbps:.0f} GB/s minimal "
-        f"traffic, {hbm_sol * 100:.0f}% of {_V5E_HBM_GBPS:.0f} GB/s HBM "
-        f"roofline) [dtype={args.dtype or 'float32'} remat={args.remat} "
+        f"{args.peak_tflops:.0f} TF MXU peak{hbm_note}) "
+        f"[dtype={args.dtype or 'float32'} remat={args.remat} "
         f"step={sec_step * 1e3:.1f}ms]"
     )
 
