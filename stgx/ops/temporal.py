@@ -91,7 +91,11 @@ def temporal_conv(x, W, b=None, stride: int = 1, dilation: int = 1,
         pad = [(0, 0)]
     else:
         pad = [(padding, padding)]
-    # treat V as a second spatial dim with kernel 1: NHWC x HWIO -> NHWC
+    # treat V as a second spatial dim with kernel 1: NHWC x HWIO -> NHWC.
+    # NB: preferred_element_type=fp32 with bf16 operands breaks
+    # lax.conv's VJP (the transposed conv gets an fp32 cotangent against
+    # the bf16 kernel); emit the operand dtype instead — the MXU still
+    # accumulates in fp32 internally, so the rounding is identical
     y = lax.conv_general_dilated(
         x,
         W[:, None].astype(x.dtype),  # (Γ, 1, C_in, C_out)
@@ -99,7 +103,7 @@ def temporal_conv(x, W, b=None, stride: int = 1, dilation: int = 1,
         padding=pad + [(0, 0)],
         rhs_dilation=(dilation, 1),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     ).astype(x.dtype)
     if b is not None:
         y = y + b

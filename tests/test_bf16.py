@@ -92,3 +92,25 @@ def test_bf16_training_learns():
     ev = tr.evaluate(params, ds)
     assert np.isfinite(ev["ce"])
     assert 0.0 <= ev["top1"] <= 1.0
+
+
+def test_bf16_window_model_grads():
+    """Window models train under bf16 too — pins the temporal_conv VJP
+    dtype fix (preferred_element_type must follow the operand dtype or
+    lax.conv's transposed-conv backward gets mismatched dtypes)."""
+    model = MODELS["st-gcn"](
+        num_classes=5, in_feat=6, graph=GRAPH, normalization="BatchNorm",
+        kernel=3, in_ch=(8, 8), out_ch=(8, 16), stride=(1, 2),
+        residual=(1, 1), dropout=(0.0, 0.0),
+    )
+    tr = Trainer(
+        model=model, kind="window", loss=Loss(np.ones(5, np.float32)),
+        opt=OptimizerConfig(learning_rate=1e-3, batch_size=2, epochs=1),
+        receptive_field=10, bucket=40, compute_dtype="bfloat16",
+    )
+    ds = _SynthDataset(n=2)
+    params, opt_state = tr.init(np.zeros((4, 10, 7, 6), np.float32))
+    params, opt_state, st = tr.train_epoch(params, opt_state, ds, 0)
+    assert np.isfinite(st["ce"]) and np.isfinite(st["mse"])
+    leaves = jax.tree_util.tree_leaves(params)
+    assert all(l.dtype == jnp.float32 for l in leaves)

@@ -134,6 +134,7 @@ def _ref_train_epoch(ref, ref_loss, trials, batch_size, lr):
     n = len(trials)
     ragged = n % batch_size
     ce_list, mse_list = [], []
+    c1 = c5 = tot = 0
     opt.zero_grad()
     for i, (x, y) in enumerate(trials):
         # (L, V, C) -> reference layout (1, C, L, V)
@@ -153,6 +154,13 @@ def _ref_train_epoch(ref, ref_loss, trials, batch_size, lr):
         ce, mse = ref_loss(0, preds, lab)
         ce_list.append(float(ce.detach()))
         mse_list.append(float(mse.detach()))
+        # train-time top-k from the same forward, like the reference's
+        # Statistics strategy (utils/statistics.py:4-21 via processor.py:389)
+        with torch.no_grad():
+            top5 = preds.detach().topk(5, dim=1).indices  # (1, 5, L)
+            c1 += int((top5[:, 0] == lab).sum())
+            c5 += int((top5 == lab[:, None]).any(dim=1).sum())
+            tot += lab.numel()
         divisor = float(
             batch_size if (ragged == 0 or i < n - ragged) else ragged
         )
@@ -160,7 +168,7 @@ def _ref_train_epoch(ref, ref_loss, trials, batch_size, lr):
         if (i + 1) % batch_size == 0 or (i + 1) == n:
             opt.step()
             opt.zero_grad()
-    return ce_list, mse_list
+    return ce_list, mse_list, (c1, c5, tot)
 
 
 @pytest.mark.skipif(not HAVE_REF, reason="reference not mounted")
@@ -205,7 +213,16 @@ def test_train_epoch_golden_vs_reference(normalization):
     )
     stgx_trial_loss = [float(s.split("=")[-1]) for s in lines if "trial" in s]
 
-    ce_list, mse_list = _ref_train_epoch(ref, ref_loss, trials, bs, lr)
+    ce_list, mse_list, (rc1, rc5, rtot) = _ref_train_epoch(
+        ref, ref_loss, trials, bs, lr
+    )
+    # train top-k from the training forwards matches (counts may differ by
+    # an argmax tie-flip or two as the frameworks' weights drift within
+    # tolerance over the epoch)
+    total = sum(len(y) for _, y in trials)
+    assert rtot == total
+    assert abs(st["top1"] * total - rc1) <= 2
+    assert abs(st["top5"] * total - rc5) <= 2
 
     # per-trial losses match the reference's printed per-trial values
     # (processor.py:546-550 prints loss/divisor; stgx logs ce+mse — compare
