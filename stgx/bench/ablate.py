@@ -93,6 +93,12 @@ def _variants():
                        preferred_element_type=jnp.float32).astype(x.dtype)
         return y if b is None else y + jnp.sum(b, 0).astype(x.dtype)
 
+    def no_tcn(x, W, b=None, stride=1, dilation=1, padding="same"):
+        # temporal conv -> strided identity (tcn is C_out->C_out, so only
+        # the frame decimation is kept); shape-preserving for "same"
+        y = x[:, ::stride] if padding == "same" else x
+        return y if b is None else y + b.astype(y.dtype)
+
     import stgx.ops.temporal as temporal
     from stgx.ops.pallas_acc import causal_accumulate_pallas
 
@@ -123,13 +129,17 @@ def _variants():
         "dots_native": [(stgcn, "partitioned_gcn", gcn_native_out),
                         (graph_conv, "partitioned_gcn", gcn_native_out)],
         "norm_native": [(norms, "batch_norm", bn_native_stats)],
+        "no_tcn": [(stgcn, "temporal_conv", no_tcn)],
     }
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="rt-st-gcn",
+                    choices=["rt-st-gcn", "st-gcn"])
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
-    ap.add_argument("--frames", type=int, default=1024)
+    ap.add_argument("--frames", type=int, default=1024,
+                    help="frames per trial (rt) / windows per step (st-gcn)")
     ap.add_argument("--only", default=None, help="comma-list of variants")
     args = ap.parse_args(argv)
 
@@ -142,23 +152,30 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
     loss = Loss(np.ones(52, np.float32), "logits")
+    kind = "window" if args.model == "st-gcn" else "frame"
 
     results = {}
     variants = _variants()
     names = args.only.split(",") if args.only else list(variants)
     for name in names:
-        model = MODELS["rt-st-gcn"](
+        model = MODELS[args.model](
             num_classes=52, in_feat=3, graph=load_skeleton("pku-mmd"),
             normalization="BatchNorm", remat=(name == "remat"),
         )
+        if kind == "window":
+            frames, trials = 50, max(1, args.frames // 50)
+        else:
+            frames, trials = args.frames, 8
         with _patched(variants[name]):
             fps, sec = measure_train_throughput(
-                model, loss, frames_per_trial=args.frames, dtype=dtype,
+                model, loss, frames_per_trial=frames, trials=trials,
+                dtype=dtype, kind=kind,
                 fwd_only=(name == "fwd_only"),
                 use_mask=(name != "no_mask"),
             )
         results[name] = fps
-        print(json.dumps({"variant": name, "frames_per_s": round(fps),
+        unit = "windows_per_s" if kind == "window" else "frames_per_s"
+        print(json.dumps({"variant": name, unit: round(fps),
                           "step_ms": round(sec * 1e3, 1)}), flush=True)
 
     if "full" in results:
