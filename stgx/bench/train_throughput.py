@@ -108,21 +108,20 @@ def measure_train_throughput(
         return jax.jit(many, donate_argnums=(0, 1))
 
     rng = np.random.default_rng(seed)
+    v = model.graph["num_node"]
+    c = model.in_feat
+    ncls = model.num_classes
+    x = jnp.asarray(
+        rng.normal(size=(trials, l_frames, v, c)).astype(np.float32)
+    )
     if kind == "window":
         # trials = windows per step; l_frames = receptive field W. One
         # window classifies one frame in continual operation
         # (WindowSegment.get_segment_rt), so windows/s IS frames/s.
-        x = jnp.asarray(
-            rng.normal(size=(trials, l_frames, 25, 3)).astype(np.float32)
-        )
-        y = jnp.asarray(rng.integers(0, 52, size=(trials,)))
-        mask = jnp.ones((trials, l_frames), jnp.float32)
+        y = jnp.asarray(rng.integers(0, ncls, size=(trials,)))
     else:
-        x = jnp.asarray(
-            rng.normal(size=(trials, l_frames, 25, 3)).astype(np.float32)
-        )
-        y = jnp.asarray(rng.integers(0, 52, size=(trials, l_frames)))
-        mask = jnp.ones((trials, l_frames), jnp.float32)
+        y = jnp.asarray(rng.integers(0, ncls, size=(trials, l_frames)))
+    mask = jnp.ones((trials, l_frames), jnp.float32)
 
     res = {}
     for s in scan_lengths:
@@ -147,7 +146,7 @@ def measure_train_throughput(
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="rt-st-gcn",
-                    choices=["rt-st-gcn", "st-gcn"])
+                    choices=["rt-st-gcn", "co-st-gcn", "st-gcn"])
     ap.add_argument("--dtype", default=None, choices=[None, "bfloat16"],
                     help="compute dtype (default fp32 params end-to-end)")
     ap.add_argument("--remat", action="store_true")
@@ -180,7 +179,7 @@ def main(argv=None):
         frames = 50
         trials = max(1, args.frames // frames)
     else:
-        model = MODELS["rt-st-gcn"](
+        model = MODELS[args.model](
             num_classes=52, in_feat=3, graph=load_skeleton("pku-mmd"),
             normalization="BatchNorm", remat=args.remat,
         )
@@ -193,16 +192,20 @@ def main(argv=None):
         kind=kind,
     )
     # fwd ≈ macs, bwd ≈ 2×fwd; 2 FLOPs per MAC
-    unit_macs = (
-        stgcn_macs_per_window() if kind == "window"
-        else rt_stgcn_macs_per_frame()
-    )
+    if kind == "window":
+        unit_macs = stgcn_macs_per_window()
+    elif args.model == "co-st-gcn":
+        from stgx.utils.flops import costgcn_macs_per_frame
+
+        unit_macs = costgcn_macs_per_frame()
+    else:
+        unit_macs = rt_stgcn_macs_per_frame()
     flops_per_frame = 3 * 2 * unit_macs
     achieved_tflops = fps * flops_per_frame / 1e12
     sol = achieved_tflops / args.peak_tflops
     unit = "windows" if kind == "window" else "frames"
     hbm_note = ""
-    if kind != "window":
+    if args.model == "rt-st-gcn":
         from stgx.utils.flops import rt_stgcn_train_hbm_bytes_per_frame
 
         bytes_per_frame = rt_stgcn_train_hbm_bytes_per_frame(
