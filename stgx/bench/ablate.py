@@ -8,17 +8,30 @@ re-jit the full train step, and read each op's marginal cost as
 fusion context) intact, so the marginals are honest about what removing
 the op's HBM traffic + FLOPs would actually buy.
 
-Variants:
+Subtractive variants (shape-preserving no-ops):
   full        — unmodified step (the number bench.py reports)
   no_norm     — batch/layer norm -> affine only (no stats passes)
   no_acc      — causal window-sum -> identity
+  no_tcn      — temporal conv -> strided identity (st-gcn family)
   no_agg      — adjacency aggregation -> broadcast over P (keeps the
                 P-expanded intermediate's HBM traffic, drops the K=25 dot)
   matmul_only — whole gcn -> one partition-summed channel matmul (drops
                 the P-expanded intermediate entirely)
   fwd_only    — forward + loss only (no grad/adam)
 
-Run: ``python -m stgx.bench.ablate [--dtype bfloat16] [--frames 1024]``
+Implementation A/Bs (same math, different formulation — measured results
+in docs/PERF.md):
+  acc_reduce_window / acc_slices / acc_toeplitz / acc_pallas — the four
+      causal window-sum forms (stgx/ops/temporal.py, pallas_acc.py)
+  gcn_wfirst   — channel-matmul-first graph conv
+  dots_native  — dots emit the compute dtype instead of preferred-fp32+cast
+  norm_native  — norm statistics in the compute dtype (no fp32 upcast)
+  no_mask      — ungated step (mask=None end to end)
+  remat        — per-layer rematerialization
+
+Run: ``python -m stgx.bench.ablate [--model st-gcn] [--dtype bfloat16]
+[--frames 1024] [--only full,no_acc,...]`` — keep every comparison within
+ONE run; cross-process numbers drift (docs/PERF.md methodology).
 """
 
 from __future__ import annotations

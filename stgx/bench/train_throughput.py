@@ -1,9 +1,10 @@
-"""Training-step throughput + roofline for the flagship RT-ST-GCN.
+"""Training-step throughput + rooflines (rt-st-gcn / co-st-gcn / st-gcn).
 
-Measures one-chip jitted train-step frames/s (fwd + bwd + adam) at the
-canonical 9-layer PKU-MMD configuration and reports the achieved fraction
-of the chip's matmul speed-of-light, using the analytic per-frame MACs
-(stgx/utils/flops.py; the reference publishes the same MACs figures,
+Measures one-chip jitted train-step frames/s (fwd + bwd + adam) at each
+family's canonical PKU-MMD configuration and reports the achieved fraction
+of the chip's matmul peak — plus, for rt-st-gcn, the binding HBM roofline
+(the model is memory-bound; docs/PERF.md) — using the analytic MACs
+counters (stgx/utils/flops.py; the reference publishes the same figures,
 /root/reference/README.md:263-272).
 
 Tunnel-TPU-safe measurement (see .claude/skills/verify): the step is
