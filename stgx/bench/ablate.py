@@ -192,12 +192,13 @@ def main(argv=None):
                           "step_ms": round(sec * 1e3, 1)}), flush=True)
 
     if "full" in results:
-        base = 1e6 / results["full"]  # µs/frame
+        base = 1e6 / results["full"]  # µs per unit
+        per = "µs/window" if kind == "window" else "µs/frame"
         for name, fps in results.items():
             if name == "full":
                 continue
             saved = base - 1e6 / fps
-            print(f"{name}: marginal cost {saved:.2f} µs/frame "
+            print(f"{name}: marginal cost {saved:.2f} {per} "
                   f"({100 * saved / base:.1f}% of step)")
 
 

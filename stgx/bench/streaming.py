@@ -201,14 +201,19 @@ def run_streaming_benchmark(cfg) -> int:
             want_s = {jax.tree_util.keystr(p): np.shape(l) for p, l in want}
             if got_s != want_s:
                 missing = sorted(set(want_s) ^ set(got_s))[:4]
-                raise ValueError(
-                    f"checkpoint tree mismatches the model arch (e.g. {missing})"
+                # arch mismatch is a config error: abort rather than write
+                # plausible-looking artifacts from random weights
+                raise SystemExit(
+                    f"torch_checkpoint does not match the model arch "
+                    f"(e.g. {missing}); fix the config or drop the key"
                 )
             params = imported
             print(
                 f"imported reference torch checkpoint {proc['torch_checkpoint']}"
             )
-        except Exception as e:  # benchmark still runs with random weights
+        except (OSError, KeyError, ValueError) as e:
+            # unreadable/structurally-broken file: benchmark still runs,
+            # loudly, with random weights (matching the orbax branch below)
             print(f"torch checkpoint import failed ({e}); benchmarking random init")
     else:
         ckpt = proc.get("checkpoint") or latest_epoch(out_dir)

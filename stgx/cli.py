@@ -23,17 +23,31 @@ def _log_factory(job):
     """Route log lines to ``job.log[0]`` and stderr to ``job.log[1]`` when
     set (the reference prints through ``file=job_conf['log'][0]``,
     processor.py:478,608,722; ``[null, null]`` in its shipped configs means
-    stdout/stderr)."""
+    stdout/stderr). The stderr redirect is idempotent (only ever replaces
+    the process's original stderr) and restorable via ``log.restore()`` —
+    library callers running several commands in one process don't stack
+    redirections."""
+    import atexit
+
     out_path, err_path = (list(job.get("log") or [None, None]) + [None])[:2]
     stream = sys.stdout
     if out_path:
         stream = open(out_path, "a", buffering=1)
-    if err_path:
-        sys.stderr = open(err_path, "a", buffering=1)
+        atexit.register(stream.close)
+    err_stream = None
+    if err_path and sys.stderr is sys.__stderr__:
+        err_stream = open(err_path, "a", buffering=1)
+        atexit.register(err_stream.close)
+        sys.stderr = err_stream
 
     def log(msg):
         print(msg, flush=True, file=stream)
 
+    def restore():
+        if err_stream is not None and sys.stderr is err_stream:
+            sys.stderr = sys.__stderr__
+
+    log.restore = restore
     return log
 
 
@@ -239,6 +253,20 @@ _CURVE_COLS = ["epoch", "train_ce", "train_mse", "val_ce", "val_mse",
                "time_train", "time_val"]
 
 
+def _load_existing_curve(out_dir, start_epoch):
+    """Rows with epoch < start_epoch from a previous run's
+    train-validation-curve.csv (empty when starting fresh)."""
+    path = os.path.join(out_dir, "train-validation-curve.csv")
+    if start_epoch == 0 or not os.path.exists(path):
+        return []
+    rows = []
+    with open(path, newline="") as f:
+        for row in list(csv.reader(f))[1:]:
+            if row and int(float(row[0])) < start_epoch:
+                rows.append([int(float(row[0]))] + [float(v) for v in row[1:]])
+    return rows
+
+
 def _write_epoch_curves(out_dir, curve):
     """The reference's two per-epoch curve CSVs (processor.py:757-773):
     accuracy-curve.csv (train/val top-k) + train-validation-curve.csv
@@ -341,7 +369,9 @@ def cmd_train(cfg):
     # viewable in TensorBoard/Perfetto)
     profile_dir = cfg["job"].get("profile")
     verbose = cfg["job"].get("verbose", 0)
-    curve = []
+    # on resume, reload the pre-kill epoch rows so the per-epoch CSV
+    # rewrites extend the curve instead of truncating it
+    curve = _load_existing_curve(out_dir, start_epoch)
     t_start = time.time()
     for epoch in range(start_epoch, trainer.opt.epochs):
         if profile_dir and epoch == start_epoch:
@@ -491,7 +521,8 @@ def cmd_export(cfg):
         out_dir, "stream_cell.stablehlo"
     )
     save_streaming_cell(
-        path, trainer.model, cfg["processor"]["model"], params
+        path, trainer.model, cfg["processor"]["model"], params,
+        window=trainer.receptive_field,
     )
     log(f"exported streaming cell → {path}")
     return 0

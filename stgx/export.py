@@ -28,13 +28,14 @@ __all__ = [
 
 
 def export_streaming_cell(model, name: str, params, batch: int = 1,
-                          dtype=jnp.float32):
+                          dtype=jnp.float32, window: int = 50):
     """Exports the jitted per-frame cell with ``params`` closed over.
 
     Returns a ``jax.export.Exported``; its calling convention is
     ``call(state, x_t) -> (logits, state)`` with ``x_t`` shaped
     ``(batch, V, C)`` and ``state`` the model's streaming carry pytree
-    (FIFO ring buffers + cursors; window buffer for window classifiers).
+    (FIFO ring buffers + cursors; window buffer for window classifiers —
+    sized by ``window`` = the config's ``arch.receptive_field``).
     """
     from jax import export as jexport
 
@@ -42,7 +43,6 @@ def export_streaming_cell(model, name: str, params, batch: int = 1,
 
     init_state, stream_step = _streaming_fns(name)
     if init_state is None:
-        window = getattr(model, "receptive_field", None) or 50
         init_state, stream_step = _window_stream_fns(model, window)
     state0 = init_state(model, params, batch=batch, dtype=dtype)
 
@@ -61,8 +61,8 @@ def export_streaming_cell(model, name: str, params, batch: int = 1,
 
 
 def save_streaming_cell(path: str, model, name: str, params, batch: int = 1,
-                        dtype=jnp.float32) -> str:
-    exp, _ = export_streaming_cell(model, name, params, batch, dtype)
+                        dtype=jnp.float32, window: int = 50) -> str:
+    exp, _ = export_streaming_cell(model, name, params, batch, dtype, window)
     with open(path, "wb") as f:
         f.write(exp.serialize())
     return path

@@ -35,7 +35,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -51,18 +50,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _bands(k: int, stride: int):
-    """(T0, T1): y_b = T0 @ x_b + T1 @ x_{b-1}. ``T0[i, j] = [i - j ∈
-    taps]``, ``T1[i, j] = [i + TB - j ∈ taps]``, taps = {0, stride, ...,
-    (k-1)·stride}."""
-    i = np.arange(_TB)[:, None]
-    j = np.arange(_TB)[None, :]
+    """(T0, T1) with ``y_b = T0 @ x_b + T1 @ x_{b-1}`` — the same band
+    construction as the XLA toeplitz form, at this kernel's block size."""
+    from stgx.ops.temporal import _toeplitz_bands
 
-    def band(d):
-        return (
-            (d >= 0) & (d <= (k - 1) * stride) & (d % stride == 0)
-        ).astype(np.float32)
-
-    return band(i - j), band(i + _TB - j)
+    return _toeplitz_bands(k, stride, _TB)
 
 
 def _kernel(x_ref, t0_ref, t1_ref, o_ref, *, length: int, reverse: bool):

@@ -40,13 +40,14 @@ __all__ = [
 
 # Accumulator backend, read at trace time (like stgx.ops.graph_conv._IMPL):
 # "auto" picks the fastest measured form (stgx/bench/ablate.py A/Bs them in
-# one process on the real chip; numbers in causal_accumulate's docstring);
-# explicit names pin one: "reduce_window" | "slices" | "toeplitz" (XLA
-# forms), "pallas" (fused VMEM kernel, stgx/ops/pallas_acc.py), "xla"
-# (alias for the default XLA form). The Pallas kernel is a per-device op
-# with no GSPMD partitioning rule, so the Trainer pins "xla" when running
-# a sharded mesh (the sequence-parallel shard_map path,
-# stgx/parallel/halo.py, may still call it per shard).
+# one process on the real chip; numbers in causal_accumulate's docstring —
+# currently reduce_window everywhere, so "auto" ≡ "xla"); explicit names
+# pin one: "reduce_window" | "slices" | "toeplitz" (XLA forms), "pallas"
+# (fused VMEM kernel, stgx/ops/pallas_acc.py), "xla" (alias for the default
+# XLA form). NB: the Pallas kernel is a per-device op with no GSPMD
+# partitioning rule — don't pin "pallas" for a GSPMD-sharded model (the
+# sequence-parallel shard_map path, stgx/parallel/halo.py, may still use
+# it per shard).
 import os as _os
 
 _ACC_IMPLS = ("auto", "pallas", "xla", "reduce_window", "slices", "toeplitz")

@@ -103,13 +103,6 @@ class Trainer:
                 StatisticsMultiStage() if self.kind.endswith("_ms")
                 else Statistics()
             )
-        if self.mesh is not None:
-            # the fused Pallas accumulator has no GSPMD partitioning rule;
-            # keep the sharded path on the XLA form (stgx/ops/temporal.py)
-            from stgx.ops.temporal import get_acc_impl, set_acc_impl
-
-            if get_acc_impl() == "auto":
-                set_acc_impl("xla")
         if self.pipeline:
             if self.kind != "frame_ms":
                 raise ValueError("pipeline=True needs an ms-tcn-kind model")

@@ -10,10 +10,15 @@ def test_log_factory_routes_to_files(tmp_path):
     out = tmp_path / "run.out"
     err = tmp_path / "run.err"
     saved_stderr = sys.stderr
+    # the redirect is idempotent: it only ever replaces the process's
+    # original stderr (pytest's capture object would be left alone)
+    sys.stderr = sys.__stderr__
     try:
         log = cli._log_factory({"log": [str(out), str(err)]})
         log("hello artifact")
         print("to stderr", file=sys.stderr, flush=True)
+        log.restore()
+        assert sys.stderr is sys.__stderr__
     finally:
         sys.stderr = saved_stderr
     assert "hello artifact" in out.read_text()
@@ -24,6 +29,22 @@ def test_log_factory_defaults_to_stdout(capsys):
     log = cli._log_factory({"log": [None, None]})
     log("plain")
     assert "plain" in capsys.readouterr().out
+
+
+def test_resume_preserves_curve_rows(tmp_path):
+    """Resuming must extend — not truncate — the per-epoch curve CSVs."""
+    rows = [
+        [0, 1.0, 0.1, 2.0, 0.2, 0.3, 0.6, 0.2, 0.5, 9.0, 1.0],
+        [1, 0.9, 0.1, 1.9, 0.2, 0.4, 0.7, 0.3, 0.6, 9.1, 1.1],
+        [2, 0.8, 0.1, 1.8, 0.2, 0.5, 0.8, 0.4, 0.7, 9.2, 1.2],
+    ]
+    cli._write_epoch_curves(str(tmp_path), rows)
+    # fresh start ignores old rows
+    assert cli._load_existing_curve(str(tmp_path), 0) == []
+    # resume at epoch 2 keeps epochs 0-1
+    got = cli._load_existing_curve(str(tmp_path), 2)
+    assert [r[0] for r in got] == [0, 1]
+    assert got[1][1:] == [float(v) for v in rows[1][1:]]
 
 
 def test_email_stats_table(monkeypatch):
