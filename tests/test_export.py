@@ -51,6 +51,39 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(got, np.asarray(y_ref), atol=1e-5, rtol=1e-5)
 
 
+def test_export_window_model_honors_receptive_field(tmp_path):
+    """Window classifiers export with the configured window size — the
+    exported cell must equal streaming the model over a W-frame buffer."""
+    from stgx.export import export_streaming_cell
+    from stgx.models import MODELS
+
+    w = 8
+    model = MODELS["st-gcn"](
+        num_classes=5, in_feat=6, graph=load_skeleton("imu_fogit_ABCD"),
+        normalization="BatchNorm", kernel=3, in_ch=(8,), out_ch=(8,),
+        stride=(1,), residual=(1,), dropout=(0.0,), importance=True,
+    )
+    x = np.random.default_rng(3).normal(size=(1, w, 7, 6)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(1), jnp.asarray(x))
+    exp, state0 = export_streaming_cell(
+        model, "st-gcn", params, batch=1, window=w
+    )
+    assert state0["buf"].shape == (1, w, 7, 6)
+    # feed the window frame by frame; after w frames the buffer holds
+    # exactly x, so the cell's logits equal the direct window forward
+    blob = exp.serialize()
+    from jax import export as jexport
+
+    cell = jexport.deserialize(blob)
+    state = state0
+    for t in range(w):
+        logits, state = cell.call(state, jnp.asarray(x[:, t]))
+    ref = model.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_export_cli(tmp_path):
     """CLI `export` writes the artifact next to the other outputs."""
     import json
