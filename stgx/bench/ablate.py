@@ -55,6 +55,10 @@ def _patched(monkey):
             setattr(mod, name, fn)
 
 
+def _gcn_layer_inner(layer, x, A, mask):
+    return layer(x, A, train=True, mask=mask)
+
+
 def _variants():
     import jax.numpy as jnp
 
@@ -112,6 +116,10 @@ def _variants():
         y = x[:, ::stride] if padding == "same" else x
         return y if b is None else y + b.astype(y.dtype)
 
+    import jax
+    from flax import linen as nn
+
+    import stgx.models._remat as _remat
     import stgx.ops.temporal as temporal
     from stgx.ops.pallas_acc import causal_accumulate_pallas
 
@@ -143,6 +151,14 @@ def _variants():
                         (graph_conv, "partitioned_gcn", gcn_native_out)],
         "norm_native": [(norms, "batch_norm", bn_native_stats)],
         "no_tcn": [(stgcn, "temporal_conv", no_tcn)],
+        # selective remat: keep dot outputs, recompute elementwise in the
+        # backward (between full-save and the full per-layer remat variant)
+        "remat_dots": [
+            (_remat, "gcn_layer", nn.remat(
+                _gcn_layer_inner,
+                policy=jax.checkpoint_policies.dots_saveable,
+            )),
+        ],
     }
 
 
@@ -173,7 +189,8 @@ def main(argv=None):
     for name in names:
         model = MODELS[args.model](
             num_classes=52, in_feat=3, graph=load_skeleton("pku-mmd"),
-            normalization="BatchNorm", remat=(name == "remat"),
+            normalization="BatchNorm",
+            remat=(name in ("remat", "remat_dots")),
         )
         if kind == "window":
             frames, trials = 50, max(1, args.frames // 50)

@@ -546,12 +546,25 @@ def main(argv=None):
         import jax
 
         jax.distributed.initialize()
-    return {
-        "train": cmd_train,
-        "test": cmd_test,
-        "benchmark": cmd_benchmark,
-        "export": cmd_export,
-    }[command](cfg)
+    try:
+        return {
+            "train": cmd_train,
+            "test": cmd_test,
+            "benchmark": cmd_benchmark,
+            "export": cmd_export,
+        }[command](cfg)
+    except Exception as e:
+        # failure notification — the reference relies on SLURM
+        # --mail-type=FAIL (vsc/pkummd_a100.slurm:12); stgx sends it from
+        # the job itself so local/TPU-VM runs get it too
+        from stgx.utils.notify import send_mail
+
+        send_mail(
+            cfg["job"].get("email"),
+            f"[{cfg['job'].get('jobname', 'stgx')}]: FAILED ({command})",
+            f"{type(e).__name__}: {e}",
+        )
+        raise
 
 
 if __name__ == "__main__":

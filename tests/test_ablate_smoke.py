@@ -21,7 +21,7 @@ def test_variant_runs(name):
         num_classes=5, in_feat=6, graph=load_skeleton("imu_fogit_ABCD"),
         normalization="BatchNorm", kernel=3, in_ch=(8, 8), out_ch=(8, 8),
         stride=(1, 2), residual=(1, 1), dropout=(0.0, 0.0), importance=True,
-        remat=(name == "remat"),
+        remat=(name in ("remat", "remat_dots")),
     )
     loss = Loss(np.ones(5, np.float32), "logits")
     with _patched(variants[name]):
