@@ -111,3 +111,27 @@ def test_replicate_still_works_on_3d_mesh(devices):
     params = replicate(mesh, model.init(jax.random.PRNGKey(0), x))
     out = jax.jit(lambda p, x: model.apply(p, x))(params, x)
     assert out.shape == (2, 16, 5)
+
+
+def test_tp_streaming_matches_replicated(devices):
+    """Serving path: the per-frame streaming scan runs with TP
+    channel-sharded parameters (GSPMD inserts the per-frame collectives
+    over the `model` axis) and matches unsharded streaming — latency-motivated
+    tensor parallelism for the deployed cell needs no dedicated code."""
+    from stgx.models.rtstgcn import stream_sequence
+
+    mesh = make_mesh(data=1, seq=1, model=2)
+    model = MODELS["rt-st-gcn"](**ARCH)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 24, 7, 6)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    y_ref, _ = stream_sequence(model, params, x)
+
+    ps = shard_params_tp(params, mesh)
+    xs = jax.device_put(x, NamedSharding(mesh, P()))
+    y_tp, _ = jax.jit(
+        lambda p, t: stream_sequence(model, p, t)
+    )(ps, xs)
+    np.testing.assert_allclose(
+        np.asarray(y_tp), np.asarray(y_ref), atol=2e-5, rtol=2e-5
+    )
