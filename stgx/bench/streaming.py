@@ -158,6 +158,10 @@ def measure_stream_latency_onchip(model, name, params, frames, repeats: int = 4,
             best = min(best, time.perf_counter() - t0)
         return best
 
+    if l_long <= l_short:
+        # degenerate stream (e.g. a 1-frame trial): no slope to take —
+        # report the single-dispatch wall time, RTT included
+        return float(timed(frames) * 1e3 / max(l_long, 1))
     t_short = timed(frames[:l_short])
     t_long = timed(frames)
     per_frame_ms = (t_long - t_short) / (l_long - l_short) * 1e3

@@ -553,17 +553,20 @@ def main(argv=None):
             "benchmark": cmd_benchmark,
             "export": cmd_export,
         }[command](cfg)
-    except Exception as e:
+    except (Exception, SystemExit) as e:
         # failure notification — the reference relies on SLURM
-        # --mail-type=FAIL (vsc/pkummd_a100.slurm:12); stgx sends it from
-        # the job itself so local/TPU-VM runs get it too
+        # --mail-type=FAIL, which fires on ANY nonzero exit
+        # (vsc/pkummd_a100.slurm:12), so SystemExit aborts (e.g. the
+        # benchmark's arch-mismatch check) mail too; stgx sends it from
+        # the job itself so local/TPU-VM runs get it as well
         from stgx.utils.notify import send_mail
 
-        send_mail(
-            cfg["job"].get("email"),
-            f"[{cfg['job'].get('jobname', 'stgx')}]: FAILED ({command})",
-            f"{type(e).__name__}: {e}",
-        )
+        if not (isinstance(e, SystemExit) and not e.code):
+            send_mail(
+                cfg["job"].get("email"),
+                f"[{cfg['job'].get('jobname', 'stgx')}]: FAILED ({command})",
+                f"{type(e).__name__}: {e}",
+            )
         raise
 
 
