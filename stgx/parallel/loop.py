@@ -323,6 +323,29 @@ class Trainer:
         self._jit_cache[("grad", shape_key)] = fn
         return fn
 
+    def _eval_step_batched(self, shape_key):
+        """Eval over a stack of same-length trials: per-trial losses plus
+        aggregate top-k counts. Like the train-side batching, BatchNorm
+        statistics span the stack — the reference's own file-mode
+        DataLoader-batched behavior (processor.py:61-84); with LayerNorm
+        the stacked eval equals the per-trial eval exactly."""
+        if ("evalb", shape_key) in self._jit_cache:
+            return self._jit_cache[("evalb", shape_key)]
+
+        def step(params, x, y, mask):
+            out, _ = self._frame_outputs(
+                self._cast_compute(params), self._cast_compute(x), mask,
+                train=False,
+            )
+            out = out.astype(jnp.float32)
+            ce_v, mse_v = self.loss(out, y, mask, per_sample=True)
+            top1, _, c1, c5, tot = self.statistics(out, y, mask)
+            return ce_v, mse_v, top1, c1, c5, tot
+
+        fn = jax.jit(step)
+        self._jit_cache[("evalb", shape_key)] = fn
+        return fn
+
     def _eval_step(self, shape_key):
         if ("eval", shape_key) in self._jit_cache:
             return self._jit_cache[("eval", shape_key)]
@@ -529,6 +552,10 @@ class Trainer:
         )
         for m in metrics:
             m.init_metric(n_visit)
+        if self.trial_batch > 1 and self.kind in ("frame", "frame_ms"):
+            return self._evaluate_batched(
+                params, dataset, metrics, n_visit, log
+            )
         c1 = c5 = tot = 0
         ce_sum = mse_sum = 0.0
         t0 = time.time()
@@ -555,6 +582,57 @@ class Trainer:
                 m(np.asarray(y), valid)
             if log:
                 log(f"[trial {i}]: loss = {trial_ce + trial_mse:.4f}")
+        for m in metrics:
+            m.reduce()
+        return {
+            "top1": c1 / max(tot, 1),
+            "top5": c5 / max(tot, 1),
+            "ce": ce_sum,
+            "mse": mse_sum,
+            "duration": time.time() - t0,
+        }
+
+    def _evaluate_batched(self, params, dataset, metrics, n_visit, log):
+        """Frame-kind eval with same-bucket trials stacked per device step
+        (the eval-side counterpart of _batched_epoch)."""
+        c1 = c5 = tot = 0
+        ce_sum = mse_sum = 0.0
+        t0 = time.time()
+        i = 0
+        while i < n_visit:
+            group, labels = [], []
+            first_len = None
+            while i < n_visit and len(group) < self.trial_batch:
+                x, y = dataset[i]
+                xp, yp, mask = pad_to_bucket(x, y, self.bucket)
+                if first_len is None:
+                    first_len = xp.shape[0]
+                elif xp.shape[0] != first_len:
+                    break
+                group.append((xp, yp, mask))
+                labels.append(y)
+                i += 1
+            xb = self._shard(jnp.asarray(np.stack([g[0] for g in group])))
+            yb = jnp.asarray(np.stack([g[1] for g in group]))
+            mb = jnp.asarray(np.stack([g[2] for g in group]))
+            ce_v, mse_v, top1, ic1, ic5, itot = self._eval_step_batched(
+                xb.shape
+            )(params, xb, yb, mb)
+            ce_v, mse_v = np.asarray(ce_v), np.asarray(mse_v)
+            top1 = np.asarray(top1)
+            c1 += int(ic1)
+            c5 += int(ic5)
+            tot += int(itot)
+            ce_sum += float(ce_v.sum())
+            mse_sum += float(mse_v.sum())
+            for j, y in enumerate(labels):
+                for m in metrics:
+                    m(np.asarray(y), top1[j][: len(y)])
+                if log:
+                    log(
+                        f"[trial {i - len(labels) + j}]: "
+                        f"loss = {float(ce_v[j] + mse_v[j]):.4f}"
+                    )
         for m in metrics:
             m.reduce()
         return {

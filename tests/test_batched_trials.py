@@ -70,3 +70,28 @@ def test_per_sample_loss_matches_rowwise():
         ce_r, mse_r = loss(out[r : r + 1], labels[r : r + 1], mask[r : r + 1])
         np.testing.assert_allclose(float(ce_v[r]), float(ce_r), rtol=1e-5)
         np.testing.assert_allclose(float(mse_v[r]), float(mse_r), rtol=1e-5)
+
+
+def test_batched_eval_equals_per_trial():
+    """Stacked evaluation (trial_batch > 1) reproduces per-trial eval:
+    losses, top-k, and the segmental metrics (LayerNorm — exact; under
+    BatchNorm stacking changes the batch statistics by design, matching the
+    reference's file-mode DataLoader batching)."""
+    from stgx.utils.metrics import ConfusionMatrix, EditScore, F1Score
+
+    ds = DS()
+    results = {}
+    for tb in (1, 3):
+        tr = _trainer(tb)
+        params, _ = tr.init(ds[0][0][None])
+        metrics = [F1Score(5, (0.1, 0.5)), EditScore(5), ConfusionMatrix(5)]
+        ev = tr.evaluate(params, ds, metrics=metrics)
+        results[tb] = (ev, metrics)
+    e1, e3 = results[1][0], results[3][0]
+    np.testing.assert_allclose(e1["ce"], e3["ce"], rtol=1e-5)
+    np.testing.assert_allclose(e1["mse"], e3["mse"], rtol=1e-4, atol=1e-6)
+    assert e1["top1"] == e3["top1"] and e1["top5"] == e3["top5"]
+    for m1, m3 in zip(results[1][1], results[3][1]):
+        np.testing.assert_allclose(
+            np.asarray(m1.value()), np.asarray(m3.value()), rtol=1e-6
+        )
