@@ -132,9 +132,9 @@ def _call(x3, k, stride, reverse):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def causal_accumulate_pallas(x, kernel_size: int, stride: int):
     """Drop-in fused form of :func:`stgx.ops.temporal.causal_accumulate`
-    (asserted equal in tests/test_pallas_acc.py). TPU backend only; the
-    dispatcher checks :func:`pallas_acc_supported` first. Requires
-    ``(K-1)·stride ≤ 128``."""
+    (asserted equal in tests/test_pallas_acc.py). TPU backend only;
+    ``set_acc_impl("pallas")`` routes here after checking
+    :func:`pallas_acc_supported`. Requires ``(K-1)·stride ≤ 128``."""
     return _fwd_impl(x, kernel_size, stride)
 
 

@@ -142,9 +142,15 @@ def causal_accumulate(x, kernel_size: int, stride: int):
         # best measured XLA form on the training shapes (see docstring)
         impl = "reduce_window"
     if impl == "pallas":
-        from stgx.ops.pallas_acc import causal_accumulate_pallas
+        from stgx.ops.pallas_acc import (
+            causal_accumulate_pallas,
+            pallas_acc_supported,
+        )
 
-        return causal_accumulate_pallas(x, kernel_size, stride)
+        if pallas_acc_supported(l, v * c, x.dtype.itemsize):
+            return causal_accumulate_pallas(x, kernel_size, stride)
+        # lane tile's time axis exceeds the kernel's VMEM budget
+        return _reduce_window_accumulate(x, kernel_size, stride)
     if impl == "toeplitz":
         return _block_toeplitz_accumulate(x, kernel_size, stride)
     if impl == "slices":
