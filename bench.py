@@ -3,46 +3,60 @@ chip, plus the bf16 train-step throughput/MFU the blueprint targets.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "ms/frame", "vs_baseline": N,
+   "per_dispatch_ms": N, "latency_note": ...,
    "train_frames_per_s_bf16": N, "train_model_tflops": N, "train_mfu_pct": N}
 
 Baseline for the headline metric: the reference's published RT-ST-GCN₉ fp32
 per-frame latency of 20 ms (simulated CPU deployment,
 /root/reference/README.md:271; BASELINE.md). ``vs_baseline`` is the speedup
 factor baseline/ours (>1 = faster than the reference). The BASELINE.md
-north-star target is <33 ms/frame on one core. The train_* fields track the
-other BASELINE.md target (train-step fraction of the chip's matmul peak) —
-measured fwd+bwd+adam via stgx.bench.train_throughput's on-device scan
-slope; model-TFLOP/s uses the analytic per-frame MACs × 3 (bwd ≈ 2× fwd)
-× 2 FLOP/MAC.
+north-star target is <33 ms/frame on one core.
+
+Two latency views, both reported (the reference times each dispatched frame
+on the host, processor.py:416-419; on a remote-tunnel TPU that wall clock is
+dominated by the ~30 ms dispatch RTT, which a co-located deployment would
+not pay):
+  value            — on-chip scan-slope per-frame latency (the hardware's
+                     frame-to-frame compute latency; the deployable figure)
+  per_dispatch_ms  — p50 wall clock per host-dispatched frame, the
+                     reference's exact timing semantics, RTT included
+
+The train_* fields track the other BASELINE.md target (train-step fraction
+of the chip's matmul peak) — measured fwd+bwd+adam via
+stgx.bench.train_throughput's on-device scan slope; model-TFLOP/s uses the
+analytic per-frame MACs × 3 (bwd ≈ 2× fwd) × 2 FLOP/MAC. Through the
+tunnel the backward compile can take minutes; ``--no-train`` skips it and
+keeps this a quick streaming-only run.
 
 Model: flagship RT-ST-GCN at its canonical 9-layer PKU-MMD configuration
 (52 classes, 25 joints, Γ=9, channels 64→256), random weights (latency is
 weight-independent), 256 streamed frames after warmup.
 """
 
+import argparse
 import json
-import time
 
 import numpy as np
 
 
-def main():
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--no-train", action="store_true",
+        help="skip the bf16 train-throughput measurement (its backward "
+        "compile can take minutes through the remote tunnel)",
+    )
+    args = ap.parse_args(argv)
+
     import jax
     import jax.numpy as jnp
 
     from stgx.graph import load_skeleton
     from stgx.models import MODELS
-    from stgx.bench.streaming import measure_stream_latency_onchip
-    from stgx.bench.train_throughput import (
-        _V5E_HBM_GBPS,
-        _V5E_PEAK_TFLOPS,
-        measure_train_throughput,
+    from stgx.bench.streaming import (
+        measure_stream_latency,
+        measure_stream_latency_onchip,
     )
-    from stgx.utils.flops import (
-        rt_stgcn_macs_per_frame,
-        rt_stgcn_train_hbm_bytes_per_frame,
-    )
-    from stgx.utils.loss import Loss
 
     model = MODELS["rt-st-gcn"](
         num_classes=52,
@@ -60,32 +74,57 @@ def main():
     per_frame_ms = measure_stream_latency_onchip(
         model, "rt-st-gcn", params, frames
     )
-
-    fps, _ = measure_train_throughput(
-        model, Loss(np.ones(52, np.float32), "logits"), dtype=jnp.bfloat16
+    # the reference's timing semantics: wall clock per host-dispatched frame
+    # (processor.py:416-419) — RTT included, hence the caveat field
+    _, dispatch_p50_ms, _, _ = measure_stream_latency(
+        model, "rt-st-gcn", params, frames[:64]
     )
-    tflops = fps * 3 * 2 * rt_stgcn_macs_per_frame() / 1e12
 
-    baseline_ms = 20.0  # reference README.md:271 (RT-ST-GCN₉, fp32, per frame)
-    print(
-        json.dumps(
-            {
-                "metric": "rtstgcn9_streaming_latency",
-                "value": round(per_frame_ms, 4),
-                "unit": "ms/frame",
-                "vs_baseline": round(baseline_ms / per_frame_ms, 2),
-                "train_frames_per_s_bf16": round(fps),
-                "train_model_tflops": round(tflops, 2),
-                "train_mfu_pct": round(100 * tflops / _V5E_PEAK_TFLOPS, 1),
-                # the binding roofline: this model is HBM-bound (see
-                # stgx.utils.flops.rt_stgcn_train_hbm_bytes_per_frame)
-                "train_hbm_sol_pct": round(
-                    100 * fps * rt_stgcn_train_hbm_bytes_per_frame()
-                    / (_V5E_HBM_GBPS * 1e9), 1
-                ),
-            }
+    result = {
+        "metric": "rtstgcn9_streaming_latency",
+        "value": round(per_frame_ms, 4),
+        "unit": "ms/frame",
+        # baseline: reference README.md:271 (RT-ST-GCN₉, fp32, per frame)
+        "vs_baseline": round(20.0 / per_frame_ms, 2),
+        "per_dispatch_ms": round(dispatch_p50_ms, 2),
+        "latency_note": (
+            "value = on-chip scan-slope latency (amortizes host dispatch); "
+            "per_dispatch_ms = wall clock per host-dispatched frame, "
+            "reference timing semantics — includes this rig's ~30 ms "
+            "remote-tunnel RTT that a co-located deployment would not pay"
+        ),
+    }
+
+    if not args.no_train:
+        from stgx.bench.train_throughput import (
+            _V5E_HBM_GBPS,
+            _V5E_PEAK_TFLOPS,
+            measure_train_throughput,
         )
-    )
+        from stgx.utils.flops import (
+            rt_stgcn_macs_per_frame,
+            rt_stgcn_train_hbm_bytes_per_frame,
+        )
+        from stgx.utils.loss import Loss
+
+        fps, _ = measure_train_throughput(
+            model, Loss(np.ones(52, np.float32), "logits"),
+            dtype=jnp.bfloat16,
+        )
+        tflops = fps * 3 * 2 * rt_stgcn_macs_per_frame() / 1e12
+        result.update(
+            train_frames_per_s_bf16=round(fps),
+            train_model_tflops=round(tflops, 2),
+            train_mfu_pct=round(100 * tflops / _V5E_PEAK_TFLOPS, 1),
+            # the binding roofline: this model is HBM-bound (see
+            # stgx.utils.flops.rt_stgcn_train_hbm_bytes_per_frame)
+            train_hbm_sol_pct=round(
+                100 * fps * rt_stgcn_train_hbm_bytes_per_frame()
+                / (_V5E_HBM_GBPS * 1e9), 1
+            ),
+        )
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -41,11 +41,24 @@ def _log_factory(job):
         sys.stderr = err_stream
 
     def log(msg):
-        print(msg, flush=True, file=stream)
+        # after restore() the file stream is closed; fall back to stdout so
+        # a stale reference to this logger can't raise on a closed handle
+        target = stream if not stream.closed else sys.stdout
+        print(msg, flush=True, file=target)
 
     def restore():
-        if err_stream is not None and sys.stderr is err_stream:
-            sys.stderr = sys.__stderr__
+        """Undo the redirects AND release the file handles, so library
+        callers running several commands in one process don't accumulate
+        open append streams (one pair per _log_factory call otherwise)."""
+        if err_stream is not None:
+            if sys.stderr is err_stream:
+                sys.stderr = sys.__stderr__
+            if not err_stream.closed:
+                err_stream.close()
+                atexit.unregister(err_stream.close)
+        if stream is not sys.stdout and not stream.closed:
+            stream.close()
+            atexit.unregister(stream.close)
 
     log.restore = restore
     return log
@@ -263,7 +276,13 @@ def _load_existing_curve(out_dir, start_epoch):
     with open(path, newline="") as f:
         for row in list(csv.reader(f))[1:]:
             if row and int(float(row[0])) < start_epoch:
-                rows.append([int(float(row[0]))] + [float(v) for v in row[1:]])
+                parsed = [int(float(row[0]))] + [float(v) for v in row[1:]]
+                # rows written by an older stgx without the train top-k /
+                # duration columns: pad with zeros so downstream column
+                # indexing (_write_epoch_curves, _email_stats_table) keeps
+                # working on a cross-version resume
+                parsed += [0.0] * (len(_CURVE_COLS) - len(parsed))
+                rows.append(parsed[: len(_CURVE_COLS)])
     return rows
 
 

@@ -388,7 +388,7 @@ class ShiftGcnPlusStudent(nn.Module):
     def feature_taps(self):
         return (2, 4, 6)
 
-    def __call__(self, x, epoch=100, *, train: bool = False, mask=None,
+    def __call__(self, x, epoch=float("inf"), *, train: bool = False, mask=None,
                  extract_features: bool = False):
         x = self.data_bn(x, mask=mask)
         x0 = x
@@ -533,7 +533,7 @@ class ShiftGcnPlus(nn.Module):
             margins.append(jax.lax.stop_gradient(m))
         return margins
 
-    def __call__(self, x, epoch=100, *, train: bool = False, mask=None):
+    def __call__(self, x, epoch=float("inf"), *, train: bool = False, mask=None):
         t_feats, _ = self.teacher(
             jax.lax.stop_gradient(x), train=False, extract_features=True
         )

@@ -147,9 +147,11 @@ def causal_accumulate(x, kernel_size: int, stride: int):
             pallas_acc_supported,
         )
 
-        if pallas_acc_supported(l, v * c, x.dtype.itemsize):
+        span_ok = (k - 1) * stride <= 128  # kernel's 128-frame block reach
+        if span_ok and pallas_acc_supported(l, v * c, x.dtype.itemsize):
             return causal_accumulate_pallas(x, kernel_size, stride)
-        # lane tile's time axis exceeds the kernel's VMEM budget
+        # lane tile's time axis exceeds the kernel's VMEM budget, or the
+        # window span exceeds the one-previous-block reach — fall back
         return _reduce_window_accumulate(x, kernel_size, stride)
     if impl == "toeplitz":
         return _block_toeplitz_accumulate(x, kernel_size, stride)

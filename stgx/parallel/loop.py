@@ -220,11 +220,13 @@ class Trainer:
         ``aux`` is an auxiliary scalar loss some models emit alongside their
         logits (the shift-gcn++ distillation wrapper); zero otherwise.
         ``epoch`` feeds epoch-conditioned models (``pass_epoch``); ``None``
-        means post-anneal (τ = 1) — the eval-time setting.
+        means post-anneal (τ = 1) — the eval-time setting, expressed as
+        epoch=∞ so it stays past the anneal horizon regardless of the
+        model's schedule length.
         """
         eargs = ()
         if self.pass_epoch:
-            eargs = (jnp.asarray(100.0 if epoch is None else epoch,
+            eargs = (jnp.asarray(jnp.inf if epoch is None else epoch,
                                  jnp.float32),)
         if self.kind in ("frame", "frame_ms"):
             if self.pipeline:
