@@ -325,15 +325,22 @@ def _email_stats_table(job, curve):
     )
 
 
-def _demo_masks(trainer, params, dataset, demo_indices, out_dir, suffix=""):
-    """Per-trial (label, top1) CSV dumps (reference processor.py:308-322)."""
+def _demo_masks(trainer, params, dataset, demo_indices, out_dir, suffix="",
+                write=True):
+    """Per-trial (label, top1) CSV dumps (reference processor.py:308-322).
+
+    The forward + fetch are collective over the trainer's mesh, so in a
+    multi-process run EVERY process must call this; ``write=False`` skips
+    only the host-side CSV write (non-primary processes)."""
     for i in demo_indices:
         if i >= len(dataset):
             continue
         x, y = dataset[i]
         xd, yd, mask = trainer._prepare(x, y)
         _, _, top1, *_ = trainer._eval_step(xd.shape)(params, xd, yd, mask)
-        top1 = np.asarray(top1).reshape(-1)[: len(y)]
+        top1 = trainer._fetch(top1).reshape(-1)[: len(y)]
+        if not write:
+            continue
         _write_curve(
             os.path.join(out_dir, f"segmentation-{i}{suffix}.csv"),
             np.stack([np.asarray(y), top1]).T,
@@ -350,6 +357,11 @@ def cmd_train(cfg):
     out_dir = cfg["processor"]["out"]
     os.makedirs(out_dir, exist_ok=True)
     log = _log_factory(cfg["job"])
+    # multi-process (job.distributed): all processes run the same SPMD
+    # steps and join the collective checkpoint saves, but host-side
+    # artifacts (CSVs, demo masks, email) are written by process 0 only —
+    # the processes share one output dir
+    primary = jax.process_index() == 0
 
     x0, _ = train_ds[0]
     sample = (
@@ -422,24 +434,30 @@ def cmd_train(cfg):
                 f"[epoch {epoch}]: train_time = {tr['duration']}, "
                 f"val_time = {ev['duration']}"
             )
-        for m in metrics:
-            m.save(out_dir, suffix=f"-{epoch}")
-        # per-epoch demo segmentation masks, overwritten like the reference
-        # (processor.py:699-707, suffix=None inside the epoch loop)
+        if primary:
+            for m in metrics:
+                m.save(out_dir, suffix=f"-{epoch}")
+        # per-epoch demo segmentation masks, overwritten like the
+        # reference (processor.py:699-707, suffix=None inside the loop);
+        # collective forward on every process, CSV write on the primary
         _demo_masks(
-            trainer, params, val_ds, cfg["processor"].get("demo", []), out_dir
+            trainer, params, val_ds, cfg["processor"].get("demo", []),
+            out_dir, write=primary,
         )
-        # per-epoch curve artifacts so a killed job still has them
-        # (reference updates both CSVs every epoch, processor.py:757-773)
-        _write_epoch_curves(out_dir, curve)
-        if verbose > 1:
-            _email_stats_table(cfg["job"], curve)
+        if primary:
+            # per-epoch curve artifacts so a killed job still has them
+            # (reference updates both CSVs every epoch, processor.py:757-773)
+            _write_epoch_curves(out_dir, curve)
+            if verbose > 1:
+                _email_stats_table(cfg["job"], curve)
         if epoch in trainer.opt.checkpoint_indices:
             save_checkpoint(out_dir, epoch, params, opt_state)
 
     save_checkpoint(out_dir, trainer.opt.epochs - 1, params, opt_state, name="final")
-    _write_epoch_curves(out_dir, curve)
     log(f"training done in {time.time() - t_start:.1f}s → {out_dir}")
+    if not primary:
+        return 0
+    _write_epoch_curves(out_dir, curve)
 
     from stgx.utils.notify import backup_results, send_mail
 
@@ -482,16 +500,21 @@ def cmd_test(cfg):
             _, params, opt_state = restore_checkpoint(ckpt, params, opt_state)
             log(f"loaded checkpoint {ckpt}")
 
+    import jax
+
+    primary = jax.process_index() == 0  # see cmd_train's multi-process note
     metrics = _metrics(cfg, ncls)
     ev = trainer.evaluate(params, val_ds, metrics=metrics, log=None)
-    for m in metrics:
-        m.save(out_dir, suffix=None)
-    _write_curve(
-        os.path.join(out_dir, "accuracy.csv"),
-        [[ev["top1"], ev["top5"], ev["ce"], ev["mse"]]],
-        ["top1", "top5", "ce", "mse"],
-    )
-    _demo_masks(trainer, params, val_ds, cfg["processor"].get("demo", []), out_dir)
+    if primary:
+        for m in metrics:
+            m.save(out_dir, suffix=None)
+        _write_curve(
+            os.path.join(out_dir, "accuracy.csv"),
+            [[ev["top1"], ev["top5"], ev["ce"], ev["mse"]]],
+            ["top1", "top5", "ce", "mse"],
+        )
+    _demo_masks(trainer, params, val_ds, cfg["processor"].get("demo", []),
+                out_dir, write=primary)
     log(
         f"test: top1={ev['top1']:.4f} top5={ev['top5']:.4f} ce={ev['ce']:.3f} | "
         + ", ".join(filter(None, (m.log() for m in metrics)))
@@ -558,13 +581,24 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", platform)
-    if cfg["job"].get("distributed"):
+    distributed = cfg["job"].get("distributed")
+    if distributed:
         # multi-host pod slice: every host runs this same process; the mesh
         # then spans jax.devices() across hosts (reference's never-realized
-        # DDP aspiration, SURVEY.md §2.bis)
+        # DDP aspiration, SURVEY.md §2.bis). ``true`` auto-detects the
+        # cluster (TPU pod / SLURM); a dict pins it explicitly, e.g.
+        # {"coordinator_address": "host:port", "num_processes": 2,
+        #  "process_id": 0} — process_id may also come from the
+        # STGX_PROCESS_ID env var so one config file serves every process.
         import jax
 
-        jax.distributed.initialize()
+        if isinstance(distributed, dict):
+            kw = dict(distributed)
+            if "process_id" not in kw and os.environ.get("STGX_PROCESS_ID"):
+                kw["process_id"] = int(os.environ["STGX_PROCESS_ID"])
+            jax.distributed.initialize(**kw)
+        else:
+            jax.distributed.initialize()
     try:
         return {
             "train": cmd_train,

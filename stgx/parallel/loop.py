@@ -214,6 +214,20 @@ class Trainer:
             axes[1] = "seq"
         return jax.device_put(x, NamedSharding(self.mesh, P(*axes)))
 
+    @staticmethod
+    def _fetch(arr):
+        """Bring a step output to host. When the mesh spans multiple
+        processes (``jax.distributed``), sharded outputs (per-frame top-1
+        streams, per-trial loss vectors) are not fully addressable locally —
+        allgather them so every process sees the identical global value
+        (the DDP metric path the reference stubbed out,
+        /root/reference/utils/metrics/metric.py:39-40)."""
+        if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+        return np.asarray(arr)
+
     def _frame_outputs(self, params, x, mask, train, rngs=None, epoch=None):
         """Per-frame predictions for loss: ((N, L, C) or (S, N, L, C), aux).
 
@@ -576,7 +590,7 @@ class Trainer:
                 c1 += int(ic1)
                 c5 += int(ic5)
                 tot += int(itot)
-                top1_parts.append(np.asarray(top1).reshape(-1))
+                top1_parts.append(self._fetch(top1).reshape(-1))
             ce_sum += trial_ce
             mse_sum += trial_mse
             valid = np.concatenate(top1_parts)[: len(y)]
@@ -620,8 +634,8 @@ class Trainer:
             ce_v, mse_v, top1, ic1, ic5, itot = self._eval_step_batched(
                 xb.shape
             )(params, xb, yb, mb)
-            ce_v, mse_v = np.asarray(ce_v), np.asarray(mse_v)
-            top1 = np.asarray(top1)
+            ce_v, mse_v = self._fetch(ce_v), self._fetch(mse_v)
+            top1 = self._fetch(top1)
             c1 += int(ic1)
             c5 += int(ic5)
             tot += int(itot)
