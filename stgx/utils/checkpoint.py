@@ -13,6 +13,7 @@ import os
 
 import jax
 import orbax.checkpoint as ocp
+from jax.sharding import NamedSharding, PartitionSpec
 
 __all__ = ["save_checkpoint", "restore_checkpoint", "latest_epoch"]
 
@@ -35,14 +36,53 @@ def save_checkpoint(save_dir: str, epoch, params, opt_state, name=None):
 
 
 def restore_checkpoint(path: str, params_like, opt_state_like):
-    """Restore with the given abstract targets (handles shardings/dtypes)."""
+    """Restore with the given abstract targets (handles shardings/dtypes).
+
+    When the template leaves are sharded ``jax.Array``s (e.g. TP-sharded
+    params on a ``(data, seq, model)`` mesh), restore places each leaf with
+    the template's sharding — authoritative over whatever topology the
+    checkpoint was saved on, so a checkpoint written on N chips restores
+    onto M (the multi-chip resume the reference never had,
+    /root/reference/processor.py:325-343). Round-trip proven in
+    ``tests/test_checkpoint_sharded.py``.
+    """
     target = {
         "epoch": 0,
         "params": params_like,
         "opt_state": opt_state_like,
     }
-    restored = _ckptr().restore(os.path.abspath(path), item=target)
-    return restored["epoch"], restored["params"], restored["opt_state"]
+    restore_args = ocp.checkpoint_utils.construct_restore_args(target)
+    restored = _ckptr().restore(
+        os.path.abspath(path), item=target, restore_args=restore_args
+    )
+
+    # orbax returns *committed* arrays; a template leaf that was uncommitted
+    # (e.g. opt scalars from a plain ``opt.init``) comes back pinned to one
+    # device, which then clashes with mesh-sharded params at dispatch. Put
+    # NamedSharding leaves where the template says; replicate the rest over
+    # the template's mesh (if any).
+    mesh = next(
+        (
+            l.sharding.mesh
+            for l in jax.tree.leaves((params_like, opt_state_like))
+            if isinstance(getattr(l, "sharding", None), NamedSharding)
+        ),
+        None,
+    )
+
+    def _place(val, like):
+        sh = getattr(like, "sharding", None)
+        if isinstance(sh, NamedSharding):
+            return jax.device_put(val, sh)
+        if mesh is not None and hasattr(val, "dtype"):
+            return jax.device_put(val, NamedSharding(mesh, PartitionSpec()))
+        return val
+
+    return (
+        restored["epoch"],
+        jax.tree.map(_place, restored["params"], params_like),
+        jax.tree.map(_place, restored["opt_state"], opt_state_like),
+    )
 
 
 def restore_params(path: str, params_like):
