@@ -120,6 +120,7 @@ def _variants():
     from flax import linen as nn
 
     import stgx.models._remat as _remat
+    import stgx.ops.rt_fused as rt_fused
     import stgx.ops.temporal as temporal
     from stgx.ops.pallas_acc import causal_accumulate_pallas
 
@@ -144,6 +145,9 @@ def _variants():
         # partitioned_gcn reads the module global at trace time, so patching
         # _IMPL flips every call site
         "gcn_wfirst": [(graph_conv, "_IMPL", "einsum_wfirst")],
+        # cross-op fused Pallas layer core: gcn + causal window-sum in one
+        # VMEM pass (stgx/ops/rt_fused.py) — the inter-op HBM traffic probe
+        "rt_fused": [(rt_fused, "_ENABLED", True)],
         "fwd_only": [],
         "no_mask": [],
         "remat": [],

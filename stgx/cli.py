@@ -83,6 +83,10 @@ def _build_all(cfg):
         from stgx.ops.graph_conv import set_gcn_impl
 
         set_gcn_impl(arch["gcn_impl"])
+    if arch.get("rt_fused"):
+        from stgx.ops.rt_fused import set_rt_fused
+
+        set_rt_fused(bool(arch["rt_fused"]))
     data_dir = proc["data"]
     if proc.get("dataset_type", "dir") == "file":
         # single mmap'd file per split: {data}/{split}_data.npy +

@@ -86,8 +86,15 @@ class RtLayer(nn.Module):
                 res, mask=mask
             )
 
-        x = GraphConv(self.in_channels, self.out_channels, self.partitions)(x, A)
-        x = causal_accumulate(x, self.gamma, self.stride)
+        from stgx.ops.rt_fused import rt_fused_enabled
+
+        if rt_fused_enabled() and self.gamma // self.stride > 1:
+            x = GraphConv(self.in_channels, self.out_channels, self.partitions)(
+                x, A, fused_acc=(self.gamma, self.stride)
+            )
+        else:
+            x = GraphConv(self.in_channels, self.out_channels, self.partitions)(x, A)
+            x = causal_accumulate(x, self.gamma, self.stride)
         x = make_norm(self.normalization, self.out_channels, self.num_joints)(
             x, mask=mask
         )

@@ -63,7 +63,7 @@ class GraphConv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, A):
+    def __call__(self, x, A, fused_acc=None):
         W = self.param(
             "kernel",
             torch_conv_init(self.in_channels),
@@ -87,6 +87,13 @@ class GraphConv(nn.Module):
             if b is not None:
                 y = y + jnp.einsum("npvw,pd->nwd", A, b)[:, None].astype(x.dtype)
             return y
+        if fused_acc is not None:
+            # RT-layer chain: gcn + causal window-sum in one Pallas VMEM
+            # pass (stgx/ops/rt_fused.py); parameter tree is unchanged, so
+            # checkpoints are interchangeable with the XLA path
+            from stgx.ops.rt_fused import rt_fused_gcn_acc
+
+            return rt_fused_gcn_acc(x, A, W, b, *fused_acc)
         return partitioned_gcn(x, A, W, b)
 
 

@@ -17,6 +17,12 @@ def test_variant_runs(name):
     variants = _variants()
     if name == "acc_pallas":
         pytest.skip("TPU-only kernel (interpret-mode covered in test_pallas_acc)")
+    if name == "rt_fused":
+        # Mosaic can't lower on CPU — run the fused kernel interpreted so the
+        # enable-flag → RtLayer → GraphConv wiring is still exercised
+        import stgx.ops.rt_fused as rt_fused
+
+        variants = {name: variants[name] + [(rt_fused, "_INTERPRET", True)]}
     model = MODELS["rt-st-gcn"](
         num_classes=5, in_feat=6, graph=load_skeleton("imu_fogit_ABCD"),
         normalization="BatchNorm", kernel=3, in_ch=(8, 8), out_ch=(8, 8),
