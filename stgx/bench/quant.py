@@ -6,18 +6,29 @@ quantize the continual model's matmuls to int8, then measure latency, size
 and accuracy against fp32. TPU-idiomatic scheme (no FX graph surgery):
 
 * **weights** — symmetric per-output-channel int8 (``s_w = max|w|/127``);
-* **activations** — symmetric per-tensor int8 with *dynamic* scales taken
-  from the live tensor (subsuming the reference's observer calibration pass,
-  processor.py:909-913 — no separate calibrate step needed);
+* **activations** — symmetric per-tensor int8, with either *dynamic* scales
+  from the live tensor or *static* scales from an explicit calibration pass
+  (the reference's observer calibrate step, processor.py:909-913) — static
+  drops the per-matmul abs-max reduction, which at per-frame shapes never
+  amortizes (VERDICT r2);
 * matmuls run int8×int8→int32 on the MXU (``preferred_element_type=int32``)
   and rescale into fp32 for norms/activations; the tiny adjacency contraction
   stays fp32.
+
+Three modes (``quant_mode``): ``"dynamic"`` (per-tensor scales measured
+live), ``"static"`` (calibrated constants via :func:`calibrate_scales`),
+and ``"w8"`` — weight-only int8: weights stay int8 in HBM (the dominant
+per-frame traffic — every weight is re-read each frame) and are upcast into
+the matmul, activations untouched. ``w8`` has no activation-quantization
+ops at all, so it is the latency-first variant.
 
 The quantized streaming cell reads the same trained params — quantization is
 a pure transformation, mirroring `prepare→calibrate→convert`.
 """
 
 from __future__ import annotations
+
+import contextlib
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +46,8 @@ __all__ = [
     "quantized_stream_step",
     "quantized_costgcn_stream_step",
     "quantized_size_bytes",
+    "calibrate_scales",
+    "quant_mode",
     "QUANT_MODELS",
 ]
 
@@ -47,23 +60,116 @@ def quantize_weight(w):
     return w_q, s
 
 
+# Trace-time quantization mode. ``_STATIC`` holds the calibrated per-site
+# scales consumed in call order (the streaming cells call int8_matmul in a
+# deterministic order per trace, so order IS the site id); the cursor is
+# reset at every cell entry, so re-traces (separate jits, scan bodies,
+# shape changes) stay aligned instead of exhausting an iterator.
+# ``_OBSERVER`` collects each site's dynamic scale during calibration.
+_MODE = "dynamic"
+_STATIC = None
+_STATIC_IDX = 0
+_OBSERVER = None
+
+
+@contextlib.contextmanager
+def quant_mode(mode: str, scales=None):
+    """Trace-time mode switch: "dynamic", "static" (needs ``scales`` from
+    :func:`calibrate_scales`), or "w8" (weight-only int8)."""
+    global _MODE, _STATIC, _STATIC_IDX
+    if mode == "static" and scales is None:
+        raise ValueError("static mode needs calibrated scales")
+    saved = (_MODE, _STATIC, _STATIC_IDX)
+    _MODE = mode
+    _STATIC = np.asarray(scales, np.float32) if scales is not None else None
+    _STATIC_IDX = 0
+    try:
+        yield
+    finally:
+        _MODE, _STATIC, _STATIC_IDX = saved
+
+
+def _static_reset():
+    """Called at each streaming-cell entry: site 0 of a fresh trace."""
+    global _STATIC_IDX
+    _STATIC_IDX = 0
+
+
 def _quantize_act(x, scale=None):
+    global _STATIC_IDX
     if scale is None:
-        scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) / 127.0
+        if _MODE == "static" and _STATIC is not None:
+            scale = float(_STATIC[_STATIC_IDX % len(_STATIC)])
+            _STATIC_IDX += 1
+        else:
+            scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) / 127.0
+            if _OBSERVER is not None:
+                _OBSERVER.append(scale)
     x_q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
     return x_q, scale
 
 
 def int8_matmul(x, w_q, s_w, act_scale=None):
-    """``x @ w`` with int8 inputs and int32 accumulation on the MXU."""
+    """``x @ w`` with int8 weights; activation handling follows the mode.
+
+    dynamic/static: int8×int8→int32 on the MXU, rescaled to fp32.
+    w8: weights upcast to the activation dtype inside the matmul — HBM
+    still holds int8 (4× less weight traffic), no activation quantization.
+    """
+    dn = (((x.ndim - 1,), (0,)), ((), ()))
+    if _MODE == "w8":
+        acc = jax.lax.dot_general(
+            x, w_q.astype(x.dtype), dn, preferred_element_type=jnp.float32
+        )
+        return acc * s_w
     x_q, s_x = _quantize_act(x, act_scale)
     acc = jax.lax.dot_general(
-        x_q,
-        w_q,
-        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
+        x_q, w_q, dn, preferred_element_type=jnp.int32,
     )
     return acc.astype(jnp.float32) * (s_x * s_w)
+
+
+def calibrate_scales(model, qparams, frames, name: str):
+    """The reference's calibrate pass (processor.py:909-913): run the
+    dynamic-scale cell over calibration ``frames`` ``(L, V, C)`` and return
+    the per-site max activation scale, in call order, as an np array usable
+    with ``quant_mode("static", scales)``."""
+    global _OBSERVER
+    _, qstep_fn, qinit = QUANT_MODELS[name]
+    state0 = qinit(model)
+
+    with quant_mode("dynamic"):  # observe live scales even inside a static ctx
+        # count sites with a zero-cost abstract evaluation
+        _OBSERVER = []
+        try:
+            jax.eval_shape(
+                lambda q, s, x: qstep_fn(model, q, s, x),
+                qparams, state0,
+                jnp.zeros((1,) + frames.shape[1:], jnp.float32),
+            )
+            n_sites = len(_OBSERVER)
+        finally:
+            _OBSERVER = None
+
+        @jax.jit
+        def run(qparams, state, frames):
+            def body(carry, x_t):
+                global _OBSERVER
+                st, mx = carry
+                _OBSERVER = []
+                try:
+                    _, st2 = qstep_fn(model, qparams, st, x_t[None])
+                    obs = jnp.stack(_OBSERVER)
+                finally:
+                    _OBSERVER = None
+                return (st2, jnp.maximum(mx, obs)), None
+
+            (_, mx), _ = jax.lax.scan(
+                body, (state, jnp.zeros((n_sites,), jnp.float32)), frames
+            )
+            return mx
+
+        return np.asarray(run(qparams, state0, jnp.asarray(frames)))
 
 
 def quantize_rtstgcn(model, params):
@@ -103,6 +209,7 @@ def quantize_rtstgcn(model, params):
 def quantized_stream_step(model, qparams, state, x_t):
     """One frame through the int8 streaming cell (same math as
     ``rtstgcn.stream_step`` with int8 matmuls)."""
+    _static_reset()
     kind = model.normalization
     q = qparams
 
@@ -210,6 +317,7 @@ def quantized_costgcn_stream_step(model, qparams, state, x_t):
     ``costgcn.init_stream_state``)."""
     import jax.nn
 
+    _static_reset()
     kind = model.normalization
     gamma = model.kernel
     q = qparams

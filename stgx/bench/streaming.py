@@ -168,6 +168,54 @@ def measure_stream_latency_onchip(model, name, params, frames, repeats: int = 4,
     return float(max(per_frame_ms, 0.0))
 
 
+def measure_quant_onchip(model, name, qparams, frames, repeats: int = 3,
+                         mode: str = "dynamic", scales=None):
+    """On-chip scan-slope per-frame latency of the int8 streaming cell in a
+    given quantization mode ("dynamic"/"static"/"w8" — see stgx.bench.quant).
+
+    The ``quant_mode`` context stays open across every trace in the timed
+    region (short + long streams jit separately), so static scales bind
+    consistently at each trace.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from stgx.bench.quant import QUANT_MODELS, quant_mode
+
+    _, qstep_fn, qinit = QUANT_MODELS[name]
+    state0 = qinit(model)
+    frames = jnp.asarray(frames)
+    l_long = frames.shape[0]
+    l_short = max(l_long // 8, 1)
+
+    @jax.jit
+    def qrun(qparams, state, frames):
+        def body(carry, x_t):
+            ql, st = qstep_fn(model, qparams, carry, x_t[None])
+            return st, ql
+
+        _, ys = jax.lax.scan(body, state, frames)
+        return ys[-1]
+
+    with quant_mode(mode, scales):
+        def timed(fr):
+            np.asarray(qrun(qparams, state0, fr))  # compile + warm
+            best = float("inf")
+            for r in range(repeats):
+                fr_r = fr * (1.0 + 0.01 * r)
+                np.asarray(fr_r)
+                t0 = time.perf_counter()
+                np.asarray(qrun(qparams, state0, fr_r))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        if l_long <= l_short:
+            return float(timed(frames) * 1e3 / max(l_long, 1))
+        t_short = timed(frames[:l_short])
+        t_long = timed(frames)
+    return float(max((t_long - t_short) / (l_long - l_short) * 1e3, 0.0))
+
+
 def run_streaming_benchmark(cfg) -> int:
     """CLI entry: benchmark the configured continual model on one val trial,
     write latency.csv / model-size.csv / accuracy.csv like the reference."""
@@ -277,35 +325,28 @@ def run_streaming_benchmark(cfg) -> int:
             qouts.append(np.asarray(ql)[0])
         q_top1 = np.stack(qouts).argmax(-1)
 
-        # on-chip amortized latency (same scan-slope method as fp32)
-        @jax.jit
-        def qrun(qparams, state, frames):
-            def body(carry, x_t):
-                ql, st = qstep_fn(model, qparams, carry, x_t[None])
-                return st, ql
+        # on-chip amortized latency (same scan-slope method as fp32), one
+        # row per quantization mode: dynamic per-tensor scales, static
+        # calibrated scales (the reference's own calibrate pass,
+        # processor.py:909-913), and weight-only int8 — measured in THIS
+        # process so the numbers are comparable
+        from stgx.bench.quant import calibrate_scales
 
-            _, ys = jax.lax.scan(body, state, frames)
-            return ys[-1]
-
-        def qtimed(fr):
-            np.asarray(qrun(qparams, qstate, fr))
-            best = float("inf")
-            for r in range(3):
-                fr_r = fr * (1.0 + 0.01 * r)
-                np.asarray(fr_r)
-                t0 = _time.perf_counter()
-                np.asarray(qrun(qparams, qstate, fr_r))
-                best = min(best, _time.perf_counter() - t0)
-            return best
-
-        l_short = max(n_frames // 8, 1)
-        t_short, t_long = qtimed(frames_q[:l_short]), qtimed(frames_q)
-        int8_onchip = max(
-            (t_long - t_short) / (n_frames - l_short) * 1e3, 0.0
+        int8_onchip = measure_quant_onchip(
+            model, name, qparams, frames_q, mode="dynamic"
+        )
+        scales = calibrate_scales(model, qparams, frames_q, name)
+        int8_static_onchip = measure_quant_onchip(
+            model, name, qparams, frames_q, mode="static", scales=scales
+        )
+        w8_onchip = measure_quant_onchip(
+            model, name, qparams, frames_q, mode="w8"
         )
         int8 = {
             "int8_p50_ms": float(np.percentile(np.asarray(qtimes) * 1e3, 50)),
             "int8_onchip_ms": float(int8_onchip),
+            "int8_static_onchip_ms": float(int8_static_onchip),
+            "w8_onchip_ms": float(w8_onchip),
             "int8_top1": float((q_top1 == y[:n_frames]).mean()),
             "int8_size_mb": quantized_size_bytes(qparams) / 1e6,
             "int8_agrees_fp32": float((q_top1 == top1).mean()),
@@ -315,11 +356,13 @@ def run_streaming_benchmark(cfg) -> int:
         w = csv.writer(f)
         w.writerow(
             ["mean_ms", "p50_ms", "p99_ms", "onchip_ms", "frames",
-             "int8_p50_ms"]
+             "int8_p50_ms", "int8_onchip_ms", "int8_static_onchip_ms",
+             "w8_onchip_ms"]
         )
         w.writerow(
             [mean_ms, p50_ms, p99_ms, onchip_ms, n_frames,
-             int8.get("int8_p50_ms")]
+             int8.get("int8_p50_ms"), int8.get("int8_onchip_ms"),
+             int8.get("int8_static_onchip_ms"), int8.get("w8_onchip_ms")]
         )
     with open(os.path.join(out_dir, "model-size.csv"), "w", newline="") as f:
         w = csv.writer(f)

@@ -73,6 +73,124 @@ def test_quantized_stream_close_to_fp32():
     assert rel < 0.2, rel
 
 
+def test_calibrate_then_static_tracks_fp32():
+    """The reference's calibrate→convert flow (processor.py:909-913): static
+    scales from an observer pass must track fp32 as well as dynamic does."""
+    from stgx.bench.quant import calibrate_scales, quant_mode
+
+    model, params, x = _model_and_params()
+    y_fp, _ = stream_sequence(model, params, jnp.asarray(x))
+    qparams = quantize_rtstgcn(model, params)
+
+    scales = calibrate_scales(
+        model, qparams, jnp.asarray(x[0]), "rt-st-gcn"
+    )
+    assert scales.ndim == 1 and len(scales) > 0 and (scales > 0).all()
+
+    with quant_mode("static", scales):
+        state = init_quant_stream_state(model)
+        outs = []
+        for t in range(x.shape[1]):
+            logits, state = quantized_stream_step(
+                model, qparams, state, jnp.asarray(x[:, t])
+            )
+            outs.append(np.asarray(logits))
+    y_q = np.stack(outs, axis=1)
+    y_fp = np.asarray(y_fp)
+    agree = (y_q.argmax(-1) == y_fp.argmax(-1)).mean()
+    assert agree > 0.9, agree
+    rel = np.abs(y_q - y_fp).mean() / (np.abs(y_fp).mean() + 1e-9)
+    assert rel < 0.2, rel
+
+
+def test_static_mode_retrace_safe():
+    """Static scales are consumed by a cursor reset at each cell entry, so
+    separate jits, scan bodies and repeat traces all stay site-aligned
+    (the failure mode of a consumed-once iterator)."""
+    from stgx.bench.quant import calibrate_scales, quant_mode
+
+    model, params, x = _model_and_params()
+    qparams = quantize_rtstgcn(model, params)
+    scales = calibrate_scales(model, qparams, jnp.asarray(x[0]), "rt-st-gcn")
+
+    with quant_mode("static", scales):
+        state = init_quant_stream_state(model)
+        x_t = jnp.asarray(x[:, 0])
+        # two independent jit instances → two traces
+        j1 = jax.jit(lambda s, f: quantized_stream_step(model, qparams, s, f))
+        j2 = jax.jit(lambda s, f: quantized_stream_step(model, qparams, s, f))
+        l1, _ = j1(state, x_t)
+        l2, _ = j2(state, x_t)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2))
+
+        # a scan (third trace) over the full stream
+        def body(st, x_t):
+            logits, st2 = quantized_stream_step(model, qparams, st, x_t[None])
+            return st2, logits
+
+        _, ys = jax.lax.scan(body, init_quant_stream_state(model),
+                             jnp.asarray(x[0]))
+        np.testing.assert_allclose(
+            np.asarray(ys[0, 0]), np.asarray(l1[0]), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_w8_mode_tighter_than_int8():
+    """Weight-only int8 never quantizes activations, so it must sit closer
+    to fp32 than the full int8 cell."""
+    from stgx.bench.quant import quant_mode
+
+    model, params, x = _model_and_params()
+    y_fp, _ = stream_sequence(model, params, jnp.asarray(x))
+    qparams = quantize_rtstgcn(model, params)
+
+    def run(mode):
+        with quant_mode(mode):
+            state = init_quant_stream_state(model)
+            outs = []
+            for t in range(x.shape[1]):
+                logits, state = quantized_stream_step(
+                    model, qparams, state, jnp.asarray(x[:, t])
+                )
+                outs.append(np.asarray(logits))
+        return np.stack(outs, axis=1)
+
+    y_fp = np.asarray(y_fp)
+    err_w8 = np.abs(run("w8") - y_fp).mean()
+    err_i8 = np.abs(run("dynamic") - y_fp).mean()
+    assert err_w8 <= err_i8 + 1e-9, (err_w8, err_i8)
+    rel = err_w8 / (np.abs(y_fp).mean() + 1e-9)
+    assert rel < 0.1, rel
+
+
+def test_costgcn_static_mode():
+    from stgx.bench.quant import QUANT_MODELS, calibrate_scales, quant_mode
+    from stgx.models.costgcn import CoStgcn
+    from stgx.models.costgcn import stream_sequence as co_stream
+
+    model = CoStgcn(
+        num_classes=5, in_feat=6, graph=SKEL, kernel=3,
+        in_ch=(8, 8, 16), out_ch=(8, 16, 16), dilation=(1, 2, 1),
+        residual=(1, 1, 1), dropout=(0.0,) * 3, normalization="LayerNorm",
+    )
+    x = RNG.normal(size=(1, 24, 7, 6)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y_fp = np.asarray(co_stream(model, params, jnp.asarray(x))[0])
+
+    quantize, qstep, qinit = QUANT_MODELS["co-st-gcn"]
+    qparams = quantize(model, params)
+    scales = calibrate_scales(model, qparams, jnp.asarray(x[0]), "co-st-gcn")
+    with quant_mode("static", scales):
+        state = qinit(model)
+        outs = []
+        for t in range(x.shape[1]):
+            logits, state = qstep(model, qparams, state, jnp.asarray(x[:, t]))
+            outs.append(np.asarray(logits))
+    y_q = np.stack(outs, axis=1)
+    agree = (y_q.argmax(-1) == y_fp.argmax(-1)).mean()
+    assert agree > 0.9, agree
+
+
 def test_int8_size_reduction():
     model, params, _ = _model_and_params()
     qparams = quantize_rtstgcn(model, params)
