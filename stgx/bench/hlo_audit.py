@@ -49,12 +49,44 @@ _FREE_OPS = {
     "opt-barrier",
 }
 
-_INSTR_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*"  # result name
-    r"((?:\([^=]*?\))|(?:[\w\[\]{}:,()\s*#]+?))\s*"  # result shape(s)
-    r"([\w\-]+)\("  # opcode
-)
+_NAME_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*")
+_OPCODE_RE = re.compile(r"\s*([\w\-]+)\(")
 _SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]\s*(?:{([^}]*)})?")
+
+
+def _parse_instr(line: str):
+    """Split an HLO instruction line into (name, shape_txt, opcode, args).
+
+    Paren-matched, not regex-only: tuple shapes embed parens both in
+    layouts (``T(8,128)(2,1)``) and memory-space tags (``S(1)``), which a
+    naive ``opcode(`` regex latches onto."""
+    m = _NAME_RE.match(line)
+    if not m:
+        return None
+    name, rest = m.group(1), line[m.end():]
+    if rest.startswith("("):  # tuple shape: find its matching close paren
+        depth = 0
+        end = -1
+        for i, ch in enumerate(rest):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end < 0:
+            return None
+        shape_txt, rest = rest[: end + 1], rest[end + 1:]
+    else:  # single shape token (no spaces: layout braces attach directly)
+        sp = rest.find(" ")
+        if sp < 0:
+            return None
+        shape_txt, rest = rest[:sp], rest[sp:]
+    m2 = _OPCODE_RE.match(rest)
+    if not m2:
+        return None
+    return name, shape_txt, m2.group(1), rest[m2.end():]
 _OPERAND_RE = re.compile(r"%([\w.\-]+)")
 
 _ITEMSIZE = {
@@ -138,10 +170,31 @@ def audit_hlo_text(hlo: str, top: int = 40):
             # fusion bodies and reduce/scatter regions: internal, no HBM
             continue
         for line in comp.split("\n"):
-            m = _INSTR_RE.match(line)
-            if not m:
+            parsed = _parse_instr(line)
+            if parsed is None:
                 continue
-            name, shape_txt, opcode = m.group(1), m.group(2), m.group(3)
+            name, shape_txt, opcode, args_txt = parsed
+            if opcode.endswith("-done"):
+                # the async *-done aliases the *-start's destination buffer;
+                # the start already carries the write — record the size only
+                # so consumer reads of the alias still count
+                sizes[name] = sum(
+                    _padded_bytes(dt, dims, lay)
+                    for dt, dims, lay in _parse_shapes(shape_txt)
+                )
+                continue
+            if opcode.endswith("-start") and shape_txt.startswith("("):
+                # async start tuples are (destination, source-alias, ...):
+                # only the destination is a new buffer
+                first = _parse_shapes(shape_txt)[:1]
+                wbytes = sum(
+                    _padded_bytes(dt, dims, lay) for dt, dims, lay in first
+                )
+                for op in _OPERAND_RE.findall(args_txt):
+                    reads[op] += 1
+                sizes[name] = wbytes
+                items.append((name, opcode, shape_txt.strip(), wbytes))
+                continue
             if opcode in _FREE_OPS:
                 if opcode == "parameter":
                     for dt, dims, lay in _parse_shapes(shape_txt):
@@ -154,7 +207,6 @@ def audit_hlo_text(hlo: str, top: int = 40):
                 for dt, dims, lay in _parse_shapes(shape_txt)
             )
             # operand reads: everything after the opcode's open paren
-            args_txt = line[m.end():]
             for op in _OPERAND_RE.findall(args_txt):
                 reads[op] += 1
             sizes[name] = wbytes

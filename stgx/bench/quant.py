@@ -43,8 +43,10 @@ __all__ = [
     "int8_matmul",
     "quantize_rtstgcn",
     "quantize_costgcn",
+    "quantize_stgcn",
     "quantized_stream_step",
     "quantized_costgcn_stream_step",
+    "quantized_stgcn_window",
     "quantized_size_bytes",
     "calibrate_scales",
     "quant_mode",
@@ -398,6 +400,151 @@ def _init_costgcn_quant_state(model, batch=1, dtype=jnp.float32):
     return init_stream_state(model, None, batch=batch, dtype=dtype)
 
 
+# -- ST-GCN (window classifier) -------------------------------------------------
+# The reference ships a quantizable clone of ST-GCN for its FX PTSQ flow
+# (/root/reference/models/stgcn/stgcn_quantizable.py:1-224 — QuantStub/
+# DeQuantStub bracketing, unregistered in main.py). The stgx counterpart
+# needs no cloned module: quantization is a pure transformation of the
+# SAME trained Stgcn params, with the temporal conv rewritten as an
+# im2col + one (Γ·C, C) int8 MXU matmul.
+
+
+def quantize_stgcn(model, params):
+    """Quantize every matmul weight of an Stgcn param tree (window form)."""
+    p = params["params"]
+    g = Graph(strategy=model.strategy, **model.graph)
+    A0 = jnp.asarray(g.A, dtype=jnp.float32)
+
+    q = {"norm_in": p["norm_in"], "layers": []}
+    q["fcn_in"] = (*quantize_weight(p["fcn_in"]["kernel"]), p["fcn_in"]["bias"])
+    for i in range(len(model.in_ch)):
+        lp = p[f"layers_{i}"]
+        A = A0 * p["edge_importance"][i] if model.importance else A0
+        gw = lp["GraphConv_0"]["kernel"]  # (P, Cin, Cout)
+        wq, sw = quantize_weight(gw.reshape(gw.shape[0] * gw.shape[1], -1))
+        tw = lp["tcn_kernel"]  # (Γ, C, C): taps-leading reshape matches the
+        # im2col layout in _int8_temporal_conv (tap k outer, channel inner)
+        layer = {
+            "A": A,
+            "gcn": (wq, sw, lp["GraphConv_0"]["bias"]),
+            "tcn": (*quantize_weight(tw.reshape(-1, tw.shape[-1])),
+                    lp["tcn_bias"]),
+            "norms": {
+                k: lp[k]
+                for k in lp
+                if k.startswith(("LayerNorm", "BatchNorm"))
+            },
+        }
+        if "res_kernel" in lp:
+            layer["res"] = (*quantize_weight(lp["res_kernel"]),
+                            lp["res_bias"])
+        q["layers"].append(layer)
+    q["fcn_out"] = (*quantize_weight(p["fcn_out"]["kernel"]), p["fcn_out"]["bias"])
+    return q
+
+
+def _window_norm(kind, p, x, per_joint: bool = False, mask=None):
+    """Eval-mode norm on ``(N, L, V, C)`` with the reference's
+    track_running_stats=False semantics (batch stats recomputed at eval,
+    models/utils/batchnorm.py:3-23)."""
+    from stgx.ops.norms import batch_norm, layer_norm
+
+    if kind == "LayerNorm":
+        return layer_norm(x, p["scale"], p["bias"])
+    return batch_norm(
+        x, p["scale"], p["bias"], axes=(0, 1) if per_joint else (0, 1, 2),
+        mask=mask,
+    )
+
+
+def _int8_temporal_conv(x, tq, ts, tb, gamma: int, stride: int):
+    """Centered (Γ,1) temporal conv as im2col + ONE int8 matmul.
+
+    Matches stgx.ops.temporal.temporal_conv's "same" form:
+    ``out[n,t,v,d] = Σ_k Σ_c x_pad[n, t·stride + k, v, c] · W[k,c,d]`` with
+    Γ//2 zero-padding each side; ``tq`` is the (Γ·C, C) kernel quantized
+    taps-leading, so tap-k slices concatenate in kernel row order.
+    """
+    n, l, v, c = x.shape
+    eff = gamma - 1
+    lout = -(-l // stride)
+    xp = jnp.pad(x, ((0, 0), (eff // 2, eff - eff // 2), (0, 0), (0, 0)))
+    taps = jnp.stack(
+        [xp[:, k : k + (lout - 1) * stride + 1 : stride] for k in range(gamma)],
+        axis=3,
+    )  # (N, Lout, V, Γ, C)
+    u = taps.reshape(n, lout, v, gamma * c)
+    return int8_matmul(u, tq, ts) + tb
+
+
+def quantized_stgcn_window(model, qparams, x, mask=None):
+    """Quantized ST-GCN window forward: ``(N, L, V, C_in) → (N, classes)``.
+
+    Same math as ``Stgcn.__call__`` in eval mode (train=False, dropout off)
+    with every matmul int8 (mode-dependent, see ``quant_mode``)."""
+    _static_reset()
+    kind = model.normalization
+    q = qparams
+
+    x = _window_norm(kind, q["norm_in"], x, per_joint=True, mask=mask)
+    wq, sw, b = q["fcn_in"]
+    x = int8_matmul(x, wq, sw) + b
+
+    for i, layer in enumerate(q["layers"]):
+        cin, cout = model.in_ch[i], model.out_ch[i]
+        stride = model.stride[i]
+        residual = bool(model.residual[i])
+        identity = cin == cout and stride == 1
+        smask = mask[:, ::stride] if mask is not None else None
+        norm_names = sorted(layer["norms"])
+        n_idx = 0
+        if not residual:
+            res = 0.0
+        elif identity:
+            res = x
+        else:
+            rq, rs, rb = layer["res"]
+            res = int8_matmul(x[:, ::stride], rq, rs) + rb
+            res = _window_norm(
+                kind, layer["norms"][norm_names[n_idx]], res, mask=smask
+            )
+            n_idx += 1
+
+        A = layer["A"]
+        agg = jnp.einsum("nlvc,pvw->nlwpc", x, A)  # (N, L, V, P, Cin)
+        n_, l_, v_ = agg.shape[:3]
+        wq, sw, gb = layer["gcn"]
+        y = int8_matmul(agg.reshape(n_, l_, v_, -1), wq, sw)
+        y = y + jnp.einsum("pvw,pd->wd", A, gb)
+        y = _window_norm(kind, layer["norms"][norm_names[n_idx]], y, mask=mask)
+        n_idx += 1
+        y = jax.nn.relu(y)
+
+        tq, ts, tb = layer["tcn"]
+        y = _int8_temporal_conv(y, tq, ts, tb, model.kernel, stride)
+        y = _window_norm(kind, layer["norms"][norm_names[n_idx]], y, mask=smask)
+        x = jax.nn.relu(y + res)
+        mask = smask
+
+    x = jnp.mean(x, axis=(1, 2))
+    wq, sw, b = q["fcn_out"]
+    return int8_matmul(x, wq, sw) + b
+
+
+def _stgcn_window_qstep(model, qparams, state, x_t):
+    """Per-frame streaming via window re-run (reference
+    WindowSegment.get_segment_rt semantics, segment_generator.py:147-149);
+    the window length is fixed by the state buffer from init."""
+    buf = jnp.roll(state["buf"], -1, axis=1).at[:, -1].set(x_t)
+    return quantized_stgcn_window(model, qparams, buf), {"buf": buf}
+
+
+def _init_stgcn_quant_state(model, batch=1, window: int = 50,
+                            dtype=jnp.float32):
+    v = model.graph["num_node"]
+    return {"buf": jnp.zeros((batch, window, v, model.in_feat), dtype=dtype)}
+
+
 # model name → (quantize(model, params), qstep(model, q, state, x_t),
 #               init_state(model, batch)) — the generic dispatch the
 # benchmark CLI uses (reference's flow is model-generic FX graph surgery,
@@ -412,6 +559,13 @@ QUANT_MODELS = {
         quantize_costgcn,
         quantized_costgcn_stream_step,
         lambda model, batch=1: _init_costgcn_quant_state(model, batch),
+    ),
+    "st-gcn": (
+        quantize_stgcn,
+        _stgcn_window_qstep,
+        lambda model, batch=1, window=50: _init_stgcn_quant_state(
+            model, batch, window
+        ),
     ),
 }
 

@@ -305,7 +305,12 @@ def run_streaming_benchmark(cfg) -> int:
 
         quantize, qstep_fn, qinit = QUANT_MODELS[name]
         qparams = quantize(model, params)
-        qstate = qinit(model)
+        try:  # window models size their re-run buffer from the config
+            qstate = qinit(
+                model, window=cfg["arch"].get("receptive_field", 50)
+            )
+        except TypeError:
+            qstate = qinit(model)
 
         @jax.jit
         def qstep(qparams, state, x_t):
