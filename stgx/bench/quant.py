@@ -62,61 +62,107 @@ def quantize_weight(w):
     return w_q, s
 
 
-# Trace-time quantization mode. ``_STATIC`` holds the calibrated per-site
-# scales consumed in call order (the streaming cells call int8_matmul in a
-# deterministic order per trace, so order IS the site id); the cursor is
-# reset at every cell entry, so re-traces (separate jits, scan bodies,
-# shape changes) stay aligned instead of exhausting an iterator.
-# ``_OBSERVER`` collects each site's dynamic scale during calibration.
+# Trace-time quantization mode. ``_STATIC`` holds the calibrated scales
+# keyed by explicit SITE ID (``"fcn_in"``, ``"layers.3.gcn"``, …) — every
+# int8_matmul call site in the quantized cells passes its id, so a model
+# edit that adds/removes/reorders sites fails loudly at trace time instead
+# of silently misassigning scales (round-3 verdict #6). ``_CONSUMED``
+# tracks the sites used by the current trace; a site count/name mismatch
+# with the calibration raises. ``_OBSERVER`` collects each site's dynamic
+# scale during calibration.
 _MODE = "dynamic"
 _STATIC = None
-_STATIC_IDX = 0
+_CONSUMED = None
 _OBSERVER = None
 
 
 @contextlib.contextmanager
 def quant_mode(mode: str, scales=None):
-    """Trace-time mode switch: "dynamic", "static" (needs ``scales`` from
-    :func:`calibrate_scales`), or "w8" (weight-only int8)."""
-    global _MODE, _STATIC, _STATIC_IDX
-    if mode == "static" and scales is None:
-        raise ValueError("static mode needs calibrated scales")
-    saved = (_MODE, _STATIC, _STATIC_IDX)
+    """Trace-time mode switch: "dynamic", "static" (needs the site→scale
+    dict from :func:`calibrate_scales`), or "w8" (weight-only int8)."""
+    global _MODE, _STATIC, _CONSUMED
+    if mode == "static":
+        if not isinstance(scales, dict):
+            raise ValueError(
+                "static mode needs the site-keyed scales dict returned by "
+                f"calibrate_scales, got {type(scales).__name__}"
+            )
+    saved = (_MODE, _STATIC, _CONSUMED)
     _MODE = mode
-    _STATIC = np.asarray(scales, np.float32) if scales is not None else None
-    _STATIC_IDX = 0
+    _STATIC = (
+        {k: float(v) for k, v in scales.items()} if scales is not None else None
+    )
+    _CONSUMED = None
     try:
         yield
+        _check_static_exhausted()
     finally:
-        _MODE, _STATIC, _STATIC_IDX = saved
+        _MODE, _STATIC, _CONSUMED = saved
+
+
+def _check_static_exhausted():
+    """A completed static trace must have consumed every calibrated site —
+    fewer means the calibration belongs to a different model/config."""
+    if _MODE == "static" and _CONSUMED:
+        missing = set(_STATIC) - _CONSUMED
+        if missing:
+            raise ValueError(
+                "static quantization: calibrated sites never consumed by "
+                f"the traced cell (model/calibration mismatch): "
+                f"{sorted(missing)}"
+            )
 
 
 def _static_reset():
-    """Called at each streaming-cell entry: site 0 of a fresh trace."""
-    global _STATIC_IDX
-    _STATIC_IDX = 0
+    """Called at each streaming-cell entry: a fresh trace's site set."""
+    global _CONSUMED
+    _check_static_exhausted()
+    _CONSUMED = set()
 
 
-def _quantize_act(x, scale=None):
-    global _STATIC_IDX
+def _quantize_act(x, scale=None, site=None):
     if scale is None:
         if _MODE == "static" and _STATIC is not None:
-            scale = float(_STATIC[_STATIC_IDX % len(_STATIC)])
-            _STATIC_IDX += 1
+            if site is None:
+                raise ValueError(
+                    "static quantization needs an explicit site id at "
+                    "every int8_matmul call"
+                )
+            if _CONSUMED is not None:
+                if site in _CONSUMED:
+                    raise ValueError(
+                        f"quantization site {site!r} consumed twice in one "
+                        "trace — duplicate site id in the cell"
+                    )
+                _CONSUMED.add(site)
+            if site not in _STATIC:
+                raise KeyError(
+                    f"no calibrated scale for site {site!r} — the "
+                    "calibration was taken on a different model/config "
+                    f"(calibrated sites: {sorted(_STATIC)})"
+                )
+            scale = _STATIC[site]
         else:
             scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) / 127.0
             if _OBSERVER is not None:
-                _OBSERVER.append(scale)
+                if site is None:
+                    raise ValueError(
+                        "calibration needs an explicit site id at every "
+                        "int8_matmul call"
+                    )
+                _OBSERVER.append((site, scale))
     x_q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
     return x_q, scale
 
 
-def int8_matmul(x, w_q, s_w, act_scale=None):
+def int8_matmul(x, w_q, s_w, act_scale=None, site=None):
     """``x @ w`` with int8 weights; activation handling follows the mode.
 
     dynamic/static: int8×int8→int32 on the MXU, rescaled to fp32.
     w8: weights upcast to the activation dtype inside the matmul — HBM
     still holds int8 (4× less weight traffic), no activation quantization.
+    ``site`` is the stable site id the static/calibration modes key scales
+    by (e.g. ``"layers.3.gcn"``).
     """
     dn = (((x.ndim - 1,), (0,)), ((), ()))
     if _MODE == "w8":
@@ -124,7 +170,7 @@ def int8_matmul(x, w_q, s_w, act_scale=None):
             x, w_q.astype(x.dtype), dn, preferred_element_type=jnp.float32
         )
         return acc * s_w
-    x_q, s_x = _quantize_act(x, act_scale)
+    x_q, s_x = _quantize_act(x, act_scale, site=site)
     acc = jax.lax.dot_general(
         x_q, w_q, dn, preferred_element_type=jnp.int32,
     )
@@ -134,14 +180,14 @@ def int8_matmul(x, w_q, s_w, act_scale=None):
 def calibrate_scales(model, qparams, frames, name: str):
     """The reference's calibrate pass (processor.py:909-913): run the
     dynamic-scale cell over calibration ``frames`` ``(L, V, C)`` and return
-    the per-site max activation scale, in call order, as an np array usable
+    each site's max activation scale as a ``{site_id: scale}`` dict usable
     with ``quant_mode("static", scales)``."""
     global _OBSERVER
     _, qstep_fn, qinit = QUANT_MODELS[name]
     state0 = qinit(model)
 
     with quant_mode("dynamic"):  # observe live scales even inside a static ctx
-        # count sites with a zero-cost abstract evaluation
+        # enumerate the cell's site ids with a zero-cost abstract evaluation
         _OBSERVER = []
         try:
             jax.eval_shape(
@@ -149,9 +195,14 @@ def calibrate_scales(model, qparams, frames, name: str):
                 qparams, state0,
                 jnp.zeros((1,) + frames.shape[1:], jnp.float32),
             )
-            n_sites = len(_OBSERVER)
+            sites = [s for s, _ in _OBSERVER]
         finally:
             _OBSERVER = None
+        dup = {s for s in sites if sites.count(s) > 1}
+        if dup:
+            raise ValueError(
+                f"duplicate quantization site ids in {name!r}: {sorted(dup)}"
+            )
 
         @jax.jit
         def run(qparams, state, frames):
@@ -161,17 +212,18 @@ def calibrate_scales(model, qparams, frames, name: str):
                 _OBSERVER = []
                 try:
                     _, st2 = qstep_fn(model, qparams, st, x_t[None])
-                    obs = jnp.stack(_OBSERVER)
+                    obs = jnp.stack([sc for _, sc in _OBSERVER])
                 finally:
                     _OBSERVER = None
                 return (st2, jnp.maximum(mx, obs)), None
 
             (_, mx), _ = jax.lax.scan(
-                body, (state, jnp.zeros((n_sites,), jnp.float32)), frames
+                body, (state, jnp.zeros((len(sites),), jnp.float32)), frames
             )
             return mx
 
-        return np.asarray(run(qparams, state0, jnp.asarray(frames)))
+        mx = np.asarray(run(qparams, state0, jnp.asarray(frames)))
+        return dict(zip(sites, mx.astype(float)))
 
 
 def quantize_rtstgcn(model, params):
@@ -217,7 +269,7 @@ def quantized_stream_step(model, qparams, state, x_t):
 
     x = _stream_norm(kind, q["norm_in"], x_t, per_joint=True)
     wq, sw, b = q["fcn_in"]
-    x = int8_matmul(x, wq, sw) + b
+    x = int8_matmul(x, wq, sw, site="fcn_in") + b
 
     new_state = []
     for i, layer in enumerate(q["layers"]):
@@ -232,7 +284,7 @@ def quantized_stream_step(model, qparams, state, x_t):
             res = x
         else:
             rq, rs = layer["res"]
-            res = int8_matmul(x, rq, rs)
+            res = int8_matmul(x, rq, rs, site=f"layers.{i}.res")
             res = _stream_norm(kind, layer["norms"][norm_names[n_idx]], res)
             n_idx += 1
 
@@ -241,7 +293,7 @@ def quantized_stream_step(model, qparams, state, x_t):
         agg = jnp.einsum("nvc,pvw->nwpc", x, A)  # (N, V, P, Cin)
         n_, v_ = agg.shape[0], agg.shape[1]
         wq, sw, gb = layer["gcn"]
-        y = int8_matmul(agg.reshape(n_, v_, -1), wq, sw)
+        y = int8_matmul(agg.reshape(n_, v_, -1), wq, sw, site=f"layers.{i}.gcn")
         y = y + jnp.einsum("pvw,pd->wd", A, gb)
 
         y, st = causal_accumulate_step(state[i], y, model.kernel, model.stride[i])
@@ -254,7 +306,7 @@ def quantized_stream_step(model, qparams, state, x_t):
 
     x = jnp.mean(x, axis=1)
     wq, sw, b = q["fcn_out"]
-    return int8_matmul(x, wq, sw) + b, new_state
+    return int8_matmul(x, wq, sw, site="fcn_out") + b, new_state
 
 
 def init_quant_stream_state(model, batch=1, dtype=jnp.float32):
@@ -326,7 +378,7 @@ def quantized_costgcn_stream_step(model, qparams, state, x_t):
 
     x = _stream_norm(kind, q["norm_in"], x_t, per_joint=True)
     wq, sw, b = q["fcn_in"]
-    x = int8_matmul(x, wq, sw) + b
+    x = int8_matmul(x, wq, sw, site="fcn_in") + b
 
     new_state = []
     for i, layer in enumerate(q["layers"]):
@@ -342,7 +394,7 @@ def quantized_costgcn_stream_step(model, qparams, state, x_t):
                 res_now = x
             else:
                 rq, rs, rb = layer["res"]
-                res_now = int8_matmul(x, rq, rs) + rb
+                res_now = int8_matmul(x, rq, rs, site=f"layers.{i}.res") + rb
                 res_now = _stream_norm(
                     kind, layer["norms"][norm_names[n_idx]], res_now
                 )
@@ -363,7 +415,7 @@ def quantized_costgcn_stream_step(model, qparams, state, x_t):
         agg = jnp.einsum("nvc,pvw->nwpc", x, A)
         n_, v_ = agg.shape[0], agg.shape[1]
         wq, sw, gb = layer["gcn"]
-        y = int8_matmul(agg.reshape(n_, v_, -1), wq, sw)
+        y = int8_matmul(agg.reshape(n_, v_, -1), wq, sw, site=f"layers.{i}.gcn")
         y = y + jnp.einsum("pvw,pd->wd", A, gb)
         y = _stream_norm(kind, layer["norms"][norm_names[n_idx]], y)
         n_idx += 1
@@ -376,7 +428,7 @@ def quantized_costgcn_stream_step(model, qparams, state, x_t):
         # pre-flipped (Γ·C, C) kernel layout
         u = jnp.moveaxis(fifo[taps], 0, 2).reshape(n_, v_, -1)
         tq, ts, tb = layer["tcn"]
-        y = int8_matmul(u, tq, ts) + tb
+        y = int8_matmul(u, tq, ts, site=f"layers.{i}.tcn") + tb
         y = _stream_norm(kind, layer["norms"][norm_names[n_idx]], y)
 
         new_state.append(
@@ -391,7 +443,7 @@ def quantized_costgcn_stream_step(model, qparams, state, x_t):
 
     x = jnp.mean(x, axis=1)
     wq, sw, b = q["fcn_out"]
-    return int8_matmul(x, wq, sw) + b, new_state
+    return int8_matmul(x, wq, sw, site="fcn_out") + b, new_state
 
 
 def _init_costgcn_quant_state(model, batch=1, dtype=jnp.float32):
@@ -457,7 +509,7 @@ def _window_norm(kind, p, x, per_joint: bool = False, mask=None):
     )
 
 
-def _int8_temporal_conv(x, tq, ts, tb, gamma: int, stride: int):
+def _int8_temporal_conv(x, tq, ts, tb, gamma: int, stride: int, site=None):
     """Centered (Γ,1) temporal conv as im2col + ONE int8 matmul.
 
     Matches stgx.ops.temporal.temporal_conv's "same" form:
@@ -474,7 +526,7 @@ def _int8_temporal_conv(x, tq, ts, tb, gamma: int, stride: int):
         axis=3,
     )  # (N, Lout, V, Γ, C)
     u = taps.reshape(n, lout, v, gamma * c)
-    return int8_matmul(u, tq, ts) + tb
+    return int8_matmul(u, tq, ts, site=site) + tb
 
 
 def quantized_stgcn_window(model, qparams, x, mask=None):
@@ -488,7 +540,7 @@ def quantized_stgcn_window(model, qparams, x, mask=None):
 
     x = _window_norm(kind, q["norm_in"], x, per_joint=True, mask=mask)
     wq, sw, b = q["fcn_in"]
-    x = int8_matmul(x, wq, sw) + b
+    x = int8_matmul(x, wq, sw, site="fcn_in") + b
 
     for i, layer in enumerate(q["layers"]):
         cin, cout = model.in_ch[i], model.out_ch[i]
@@ -504,7 +556,7 @@ def quantized_stgcn_window(model, qparams, x, mask=None):
             res = x
         else:
             rq, rs, rb = layer["res"]
-            res = int8_matmul(x[:, ::stride], rq, rs) + rb
+            res = int8_matmul(x[:, ::stride], rq, rs, site=f"layers.{i}.res") + rb
             res = _window_norm(
                 kind, layer["norms"][norm_names[n_idx]], res, mask=smask
             )
@@ -514,21 +566,25 @@ def quantized_stgcn_window(model, qparams, x, mask=None):
         agg = jnp.einsum("nlvc,pvw->nlwpc", x, A)  # (N, L, V, P, Cin)
         n_, l_, v_ = agg.shape[:3]
         wq, sw, gb = layer["gcn"]
-        y = int8_matmul(agg.reshape(n_, l_, v_, -1), wq, sw)
+        y = int8_matmul(
+            agg.reshape(n_, l_, v_, -1), wq, sw, site=f"layers.{i}.gcn"
+        )
         y = y + jnp.einsum("pvw,pd->wd", A, gb)
         y = _window_norm(kind, layer["norms"][norm_names[n_idx]], y, mask=mask)
         n_idx += 1
         y = jax.nn.relu(y)
 
         tq, ts, tb = layer["tcn"]
-        y = _int8_temporal_conv(y, tq, ts, tb, model.kernel, stride)
+        y = _int8_temporal_conv(
+            y, tq, ts, tb, model.kernel, stride, site=f"layers.{i}.tcn"
+        )
         y = _window_norm(kind, layer["norms"][norm_names[n_idx]], y, mask=smask)
         x = jax.nn.relu(y + res)
         mask = smask
 
     x = jnp.mean(x, axis=(1, 2))
     wq, sw, b = q["fcn_out"]
-    return int8_matmul(x, wq, sw) + b
+    return int8_matmul(x, wq, sw, site="fcn_out") + b
 
 
 def _stgcn_window_qstep(model, qparams, state, x_t):

@@ -52,8 +52,12 @@ two. fp32-in, fp32-out is bit-compatible modulo add order.
 
 Enabled per run via ``set_rt_fused(True)`` / env ``STGX_RT_FUSED=1`` / the
 ``arch.rt_fused`` config key; like the other Pallas kernels it is a
-per-device op with no GSPMD partitioning rule — leave it off for
-GSPMD-sharded training (the Trainer guards this).
+per-device op with no GSPMD partitioning rule, so the Trainer
+force-disables it (with a warning) whenever a multi-device mesh is
+configured (stgx/parallel/loop.py Trainer.__post_init__), and
+``rt_fused_gcn_acc`` itself falls back to the XLA chain when the causal
+halo ``(taps-1)·stride`` exceeds the kernel's time tile (very large
+``arch.kernel``), where the in-kernel carry scheme cannot apply.
 """
 
 from __future__ import annotations
@@ -381,6 +385,17 @@ def rt_fused_gcn_acc(x, A, W, b, gamma: int, stride: int):
     for the RtLayer main-branch chain (same semantics as
     stgx.ops.graph_conv.partitioned_gcn + stgx.ops.temporal.causal_accumulate).
     """
+    taps = max(1, gamma // stride)
+    halo = max(stride, (taps - 1) * stride)
+    cin, cout = x.shape[-1], W.shape[-1]
+    if halo > min(_tile_t(cin, cout, fwd=True), _tile_t(cin, cout, fwd=False)):
+        # the halo-carry scheme needs every tap to reach at most one tile
+        # back; larger Γ·stride reaches would trace-fail with an opaque
+        # slice error inside the kernel — use the XLA chain instead
+        from stgx.ops.graph_conv import partitioned_gcn
+        from stgx.ops.temporal import causal_accumulate
+
+        return causal_accumulate(partitioned_gcn(x, A, W, b), gamma, stride)
     if b is not None:
         beff = jnp.einsum(
             "pvw,pd->wd", A, b, preferred_element_type=jnp.float32

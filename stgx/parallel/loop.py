@@ -98,6 +98,23 @@ class Trainer:
     _jit_cache: dict = field(default_factory=dict)
 
     def __post_init__(self):
+        # rt_fused is a per-device Pallas op with no GSPMD partitioning
+        # rule (stgx/ops/rt_fused.py): under a multi-device mesh it would
+        # compile unpartitioned (crash or silent full replication). Force
+        # the XLA chain instead — the guard rt_fused.py's header promises.
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            from stgx.ops.rt_fused import rt_fused_enabled, set_rt_fused
+
+            if rt_fused_enabled():
+                import warnings
+
+                warnings.warn(
+                    "arch.rt_fused disabled: the fused RT-layer Pallas "
+                    "kernel has no GSPMD partitioning rule; falling back "
+                    "to the XLA gcn+window-sum chain on this "
+                    f"{self.mesh.devices.size}-device mesh"
+                )
+                set_rt_fused(False)
         if self.statistics is None:
             self.statistics = (
                 StatisticsMultiStage() if self.kind.endswith("_ms")

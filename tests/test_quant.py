@@ -85,7 +85,9 @@ def test_calibrate_then_static_tracks_fp32():
     scales = calibrate_scales(
         model, qparams, jnp.asarray(x[0]), "rt-st-gcn"
     )
-    assert scales.ndim == 1 and len(scales) > 0 and (scales > 0).all()
+    assert isinstance(scales, dict) and len(scales) > 0
+    assert all(v > 0 for v in scales.values())
+    assert "fcn_in" in scales and "fcn_out" in scales
 
     with quant_mode("static", scales):
         state = init_quant_stream_state(model)
@@ -104,9 +106,9 @@ def test_calibrate_then_static_tracks_fp32():
 
 
 def test_static_mode_retrace_safe():
-    """Static scales are consumed by a cursor reset at each cell entry, so
-    separate jits, scan bodies and repeat traces all stay site-aligned
-    (the failure mode of a consumed-once iterator)."""
+    """Static scales are keyed by site id, so separate jits, scan bodies
+    and repeat traces all stay site-aligned (the failure mode of a
+    consumed-once iterator or a call-order cursor)."""
     from stgx.bench.quant import calibrate_scales, quant_mode
 
     model, params, x = _model_and_params()
@@ -133,6 +135,59 @@ def test_static_mode_retrace_safe():
         np.testing.assert_allclose(
             np.asarray(ys[0, 0]), np.asarray(l1[0]), rtol=1e-5, atol=1e-5
         )
+
+
+def test_static_scale_site_mismatch_fails_loudly():
+    """Scales are keyed by site id (round-3 verdict #6): a calibration taken
+    on a different model/arch must raise at trace time, never silently
+    misassign scales."""
+    import pytest
+
+    from stgx.bench.quant import calibrate_scales, quant_mode
+
+    model, params, x = _model_and_params()
+    qparams = quantize_rtstgcn(model, params)
+    scales = calibrate_scales(model, qparams, jnp.asarray(x[0]), "rt-st-gcn")
+
+    # a site the cell needs is missing from the calibration → KeyError
+    missing = {k: v for k, v in scales.items() if k != "layers.1.gcn"}
+    with pytest.raises(KeyError, match="layers.1.gcn"):
+        with quant_mode("static", missing):
+            quantized_stream_step(
+                model, qparams, init_quant_stream_state(model),
+                jnp.asarray(x[:, 0]),
+            )
+
+    # a calibrated site the cell never consumes → ValueError on exit
+    extra = dict(scales, **{"layers.99.gcn": 1.0})
+    with pytest.raises(ValueError, match="never consumed"):
+        with quant_mode("static", extra):
+            quantized_stream_step(
+                model, qparams, init_quant_stream_state(model),
+                jnp.asarray(x[:, 0]),
+            )
+
+    # legacy call-order scale vectors are rejected outright
+    with pytest.raises(ValueError, match="site-keyed"):
+        with quant_mode("static", np.ones(5, np.float32)):
+            pass
+
+
+def test_duplicate_site_in_one_trace_rejected():
+    import pytest
+
+    from stgx.bench.quant import _static_reset, quant_mode
+
+    rng = np.random.default_rng(7)  # local: the module RNG's draw order
+    # feeds later tests' data
+    x = jnp.asarray(rng.normal(size=(2, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32))
+    wq, s = quantize_weight(w)
+    with pytest.raises(ValueError, match="consumed twice"):
+        with quant_mode("static", {"s0": 1.0}):
+            _static_reset()
+            int8_matmul(x, wq, s, site="s0")
+            int8_matmul(x, wq, s, site="s0")
 
 
 def test_w8_mode_tighter_than_int8():
@@ -303,7 +358,7 @@ def test_quantized_stgcn_stream_and_static():
 
     state = qinit(model, batch=2, window=8)
     scales = calibrate_scales(model, qparams, jnp.asarray(x[0, :4]), "st-gcn")
-    assert (scales > 0).all()
+    assert all(v > 0 for v in scales.values())
     with quant_mode("static", scales):
         logits, state = qstep(model, qparams, state, jnp.asarray(x[:, 0]))
     assert logits.shape == (2, 5) and np.isfinite(np.asarray(logits)).all()

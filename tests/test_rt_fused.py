@@ -129,6 +129,87 @@ def test_bf16_matches_xla_chain():
     assert err_got <= err_ref * 1.05 + 1e-3, (err_got, err_ref)
 
 
+def test_halo_exceeds_tile_falls_back():
+    """A Γ·stride reach beyond the kernel's halo-carry tile must fall back
+    to the XLA chain transparently (exact same numbers, no opaque trace
+    error inside the kernel) — advisor r3 finding."""
+    n, l, v, p, cin, cout = 1, 100, 7, 2, 16, 16
+    gamma, stride = 80, 1  # halo 79 > the 64-frame backward tile
+    rng = np.random.default_rng(5)
+    x = _rand(rng, n, l, v, cin)
+    A = _rand(rng, p, v, v)
+    W = _rand(rng, p, cin, cout) * 0.1
+    b = _rand(rng, p, cout)
+    probe = _rand(rng, n, l, v, cout)
+
+    def loss(fn):
+        return lambda x, A, W, b: jnp.sum(fn(x, A, W, b) * probe)
+
+    ref = _ref_chain(x, A, W, b, gamma, stride)
+    got = rt_fused.rt_fused_gcn_acc(x, A, W, b, gamma, stride)
+    # the fallback IS the reference chain, so bit-identical
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    g_ref = jax.grad(loss(lambda *a: _ref_chain(*a, gamma, stride)),
+                     argnums=(0, 1, 2, 3))(x, A, W, b)
+    g_fb = jax.grad(loss(lambda *a: rt_fused.rt_fused_gcn_acc(*a, gamma, stride)),
+                    argnums=(0, 1, 2, 3))(x, A, W, b)
+    for gr, gp in zip(g_ref, g_fb):
+        np.testing.assert_array_equal(np.asarray(gp), np.asarray(gr))
+
+
+def test_trainer_multi_device_mesh_guard(devices):
+    """arch.rt_fused + a multi-device mesh: the Trainer must force-disable
+    the unpartitionable Pallas op (with a warning) and the sharded run must
+    still train ≡ the unfused path (the guard rt_fused.py's header
+    promises; round-3 verdict #2)."""
+    from stgx.graph import load_skeleton
+    from stgx.models import MODELS
+    from stgx.parallel.loop import OptimizerConfig, Trainer
+    from stgx.parallel.mesh import make_mesh
+    from stgx.utils import LOSS
+
+    arch = dict(
+        num_classes=5, in_feat=6, graph=load_skeleton("imu_fogit_ABCD"),
+        kernel=3, in_ch=(8, 16), out_ch=(16, 16), stride=(1, 1),
+        residual=(1, 1), dropout=(0.0, 0.0), normalization="BatchNorm",
+    )
+
+    class DS:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            L = 40 + 8 * i
+            return (
+                rng.normal(size=(L, 7, 6)).astype(np.float32),
+                rng.integers(0, 5, size=L).astype(np.int64),
+            )
+
+    def one_epoch(mesh):
+        model = MODELS["rt-st-gcn"](**arch)
+        trainer = Trainer(
+            model=model, kind="frame",
+            loss=LOSS["rt-st-gcn"](np.ones(5, np.float32)),
+            opt=OptimizerConfig(batch_size=2), mesh=mesh, bucket=32,
+        )
+        ds = DS()
+        params, opt_state = trainer.init(ds[0][0][None])
+        _, _, st = trainer.train_epoch(params, opt_state, ds, 0)
+        return st
+
+    rt_fused.set_rt_fused(True)
+    try:
+        with pytest.warns(UserWarning, match="rt_fused"):
+            st_mesh = one_epoch(make_mesh(data=2, seq=1))
+        # the guard flipped the global off for the sharded run
+        assert not rt_fused.rt_fused_enabled()
+    finally:
+        rt_fused.set_rt_fused(False)
+    st_ref = one_epoch(None)  # unfused single-device
+    np.testing.assert_allclose(st_mesh["ce"], st_ref["ce"], rtol=1e-5)
+
+
 def test_full_model_equivalence(monkeypatch):
     """RtStgcn forward + grads with the fused layer ≡ the default path
     (LayerNorm so the norm sees identical inputs modulo fp rounding)."""
