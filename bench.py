@@ -70,9 +70,10 @@ def main(argv=None):
 
     # streaming loop kept on-device (lax.scan over the sequential FIFO
     # recurrence): the hardware's real frame-to-frame latency, not the
-    # remote-tunnel dispatch RTT
-    per_frame_ms = measure_stream_latency_onchip(
-        model, "rt-st-gcn", params, frames
+    # remote-tunnel dispatch RTT. Per-repeat slope samples qualify the
+    # number's own noise (r02→r03 drifted 8.5% with no spread recorded)
+    per_frame_ms, lat_slopes = measure_stream_latency_onchip(
+        model, "rt-st-gcn", params, frames, return_samples=True
     )
     # the reference's timing semantics: wall clock per host-dispatched frame
     # (processor.py:416-419) — RTT included, hence the caveat field
@@ -86,6 +87,15 @@ def main(argv=None):
         "unit": "ms/frame",
         # baseline: reference README.md:271 (RT-ST-GCN₉, fp32, per frame)
         "vs_baseline": round(20.0 / per_frame_ms, 2),
+        # repeat self-qualification: median and relative spread of the
+        # per-repeat scan slopes (value itself is the min-times slope —
+        # tunnel jitter is one-sided, docs/PERF.md methodology)
+        "value_repeat_median": round(float(np.median(lat_slopes)), 4),
+        "value_repeat_spread_pct": round(
+            100.0 * (max(lat_slopes) - min(lat_slopes))
+            / max(float(np.median(lat_slopes)), 1e-9), 1
+        ),
+        "repeats": len(lat_slopes),
         "per_dispatch_ms": round(dispatch_p50_ms, 2),
         "latency_note": (
             "value = on-chip scan-slope latency (amortizes host dispatch); "
@@ -107,13 +117,18 @@ def main(argv=None):
         )
         from stgx.utils.loss import Loss
 
-        fps, _ = measure_train_throughput(
+        fps, _, fps_samples = measure_train_throughput(
             model, Loss(np.ones(52, np.float32), "logits"),
-            dtype=jnp.bfloat16,
+            dtype=jnp.bfloat16, return_samples=True,
         )
         tflops = fps * 3 * 2 * rt_stgcn_macs_per_frame() / 1e12
         result.update(
             train_frames_per_s_bf16=round(fps),
+            train_repeat_median=round(float(np.median(fps_samples))),
+            train_repeat_spread_pct=round(
+                100.0 * (max(fps_samples) - min(fps_samples))
+                / max(float(np.median(fps_samples)), 1e-9), 1
+            ),
             train_model_tflops=round(tflops, 2),
             train_mfu_pct=round(100 * tflops / _V5E_PEAK_TFLOPS, 1),
             # the binding roofline: this model is HBM-bound (see

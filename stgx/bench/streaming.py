@@ -115,7 +115,7 @@ def measure_stream_latency(model, name, params, frames, warmup: int = 20,
 
 
 def measure_stream_latency_onchip(model, name, params, frames, repeats: int = 4,
-                                  window: int = 50):
+                                  window: int = 50, return_samples=False):
     """Amortized per-frame latency with the streaming loop kept on-device.
 
     The per-frame recurrence (FIFO carry) stays strictly sequential inside a
@@ -125,6 +125,12 @@ def measure_stream_latency_onchip(model, name, params, frames, repeats: int = 4,
     otherwise returns before execution), and the per-frame cost is taken as
     the **slope** between a short and a long stream, cancelling the fixed
     per-call RTT (~30 ms through the tunnel).
+
+    The headline value is the slope of the minimum times per length (tunnel
+    jitter is one-sided — docs/PERF.md methodology). With
+    ``return_samples=True`` also returns the per-repeat slope list (r-th
+    short paired with r-th long dispatch) so callers can report the repeat
+    spread alongside the value instead of a bare point estimate.
     """
     import jax
     import jax.numpy as jnp
@@ -149,23 +155,31 @@ def measure_stream_latency_onchip(model, name, params, frames, repeats: int = 4,
 
     def timed(fr):
         np.asarray(run(params, state, fr))  # compile + warm
-        best = float("inf")
+        times = []
         for r in range(repeats):
             fr_r = fr * (1.0 + 0.01 * r)  # defeat result caching
             np.asarray(fr_r)
             t0 = time.perf_counter()
             np.asarray(run(params, state, fr_r))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            times.append(time.perf_counter() - t0)
+        return times
 
     if l_long <= l_short:
         # degenerate stream (e.g. a 1-frame trial): no slope to take —
         # report the single-dispatch wall time, RTT included
-        return float(timed(frames) * 1e3 / max(l_long, 1))
-    t_short = timed(frames[:l_short])
-    t_long = timed(frames)
-    per_frame_ms = (t_long - t_short) / (l_long - l_short) * 1e3
-    return float(max(per_frame_ms, 0.0))
+        val = float(min(timed(frames)) * 1e3 / max(l_long, 1))
+        return (val, [val]) if return_samples else val
+    ts_short = timed(frames[:l_short])
+    ts_long = timed(frames)
+    scale = 1e3 / (l_long - l_short)
+    per_frame_ms = max((min(ts_long) - min(ts_short)) * scale, 0.0)
+    if return_samples:
+        slopes = [
+            max((tl - ts) * scale, 0.0)
+            for ts, tl in zip(ts_short, ts_long)
+        ]
+        return float(per_frame_ms), slopes
+    return float(per_frame_ms)
 
 
 def measure_quant_onchip(model, name, qparams, frames, repeats: int = 3,

@@ -35,9 +35,12 @@ _V5E_HBM_GBPS = 819.0
 def measure_train_throughput(
     model, loss, frames_per_trial=1024, trials=8, scan_lengths=(2, 10),
     dtype=None, iters=3, seed=0, fwd_only=False, use_mask=True,
-    kind="frame",
+    kind="frame", return_samples=False,
 ):
-    """Returns (frames_per_second, seconds_per_step).
+    """Returns (frames_per_second, seconds_per_step) — and, with
+    ``return_samples=True``, a third element: the per-repeat frames/s list
+    (i-th short-scan dispatch paired with i-th long-scan dispatch), so the
+    caller can report the scan-slope repeat spread next to the headline.
 
     The train step runs ``S`` times *on-device* inside one ``lax.scan``
     (params/opt-state threaded as the carry), so a timed region is a single
@@ -131,16 +134,23 @@ def measure_train_throughput(
         opt_state = tx.init(params)
         params, opt_state, l = fn(params, opt_state, x, y, mask)  # compile
         np.asarray(l)
-        best = float("inf")
+        times = []
         for _ in range(iters):
             t0 = time.perf_counter()
             params, opt_state, l = fn(params, opt_state, x, y, mask)
             np.asarray(l)  # host readback: force real completion
-            best = min(best, time.perf_counter() - t0)
-        res[s] = best
+            times.append(time.perf_counter() - t0)
+        res[s] = times
     s0, s1 = min(scan_lengths), max(scan_lengths)
-    sec_per_step = (res[s1] - res[s0]) / (s1 - s0)
+    sec_per_step = (min(res[s1]) - min(res[s0])) / (s1 - s0)
     per_step = trials if kind == "window" else trials * l_frames
+    if return_samples:
+        fps_samples = [
+            per_step * (s1 - s0) / (t1 - t0)
+            for t0, t1 in zip(res[s0], res[s1])
+            if t1 > t0
+        ]
+        return per_step / sec_per_step, sec_per_step, fps_samples
     return per_step / sec_per_step, sec_per_step
 
 
