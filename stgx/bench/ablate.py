@@ -148,6 +148,9 @@ def _variants():
         # cross-op fused Pallas layer core: gcn + causal window-sum in one
         # VMEM pass (stgx/ops/rt_fused.py) — the inter-op HBM traffic probe
         "rt_fused": [(rt_fused, "_ENABLED", True)],
+        # fused kernel, forward only: splits the fused A/B's loss between
+        # the fwd kernel and the (smaller-tile, VMEM-accumulating) bwd kernel
+        "rt_fused_fwd": [(rt_fused, "_ENABLED", True)],
         "fwd_only": [],
         "no_mask": [],
         "remat": [],
@@ -204,7 +207,7 @@ def main(argv=None):
             fps, sec = measure_train_throughput(
                 model, loss, frames_per_trial=frames, trials=trials,
                 dtype=dtype, kind=kind,
-                fwd_only=(name == "fwd_only"),
+                fwd_only=(name in ("fwd_only", "rt_fused_fwd")),
                 use_mask=(name != "no_mask"),
             )
         results[name] = fps

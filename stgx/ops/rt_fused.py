@@ -7,12 +7,19 @@ in ONE VMEM pass, forward and backward. This is the op the per-op kernels
 (stgx/ops/pallas_gcn.py, stgx/ops/pallas_acc.py) could never be: they each
 still paid one HBM read + write at their boundaries, which is exactly the
 traffic XLA's per-op fusion already schedules well (both measured slower
-than XLA — see their headers). The win available here is *inter-op*: the
+than XLA — see their headers). The win targeted here is *inter-op*: the
 XLA graph materializes, per layer, the P-expanded aggregation intermediate
 (read+write of 3x the activation, tgcn.py:58-79 shape) and the pre-window-
 sum activation (read+write); this kernel keeps both in VMEM, so HBM sees
 only ``read x + write y_windowed`` for the chain the reference computes at
 /root/reference/models/utils/tgcn.py:76 + models/rtstgcn/rtstgcn.py:368-379.
+
+MEASURED VERDICT (round-4 train-step A/B, docs/PERF.md A/B log): the
+traffic win does not translate to time — the fused step runs 3.2x SLOWER
+than the XLA chain (15.15 vs 4.80 us/frame bf16; fwd-only 6.16 vs 1.64).
+The sequential halo-carried grid serializes the small chunked dots where
+XLA overlaps its larger traffic at ~100% of bandwidth. The kernel stays as
+the selectable VMEM-resident alternative (``arch.rt_fused``), default off.
 
 Kernel structure (forward), grid = (N, L/T) with the time axis iterated
 sequentially (innermost):
