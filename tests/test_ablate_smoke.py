@@ -17,7 +17,7 @@ def test_variant_runs(name):
     variants = _variants()
     if name == "acc_pallas":
         pytest.skip("TPU-only kernel (interpret-mode covered in test_pallas_acc)")
-    if name == "rt_fused":
+    if name in ("rt_fused", "rt_fused_fwd"):
         # Mosaic can't lower on CPU — run the fused kernel interpreted so the
         # enable-flag → RtLayer → GraphConv wiring is still exercised
         import stgx.ops.rt_fused as rt_fused
@@ -33,7 +33,7 @@ def test_variant_runs(name):
     with _patched(variants[name]):
         fps, sec = measure_train_throughput(
             model, loss, frames_per_trial=32, trials=2, scan_lengths=(1, 2),
-            iters=1, fwd_only=(name == "fwd_only"),
+            iters=1, fwd_only=(name in ("fwd_only", "rt_fused_fwd")),
             use_mask=(name != "no_mask"),
         )
     # tiny CPU runs can produce a negative slope (timing noise); the smoke
