@@ -153,6 +153,13 @@ def _variants():
         "rt_fused_fwd": [(rt_fused, "_ENABLED", True)],
         "fwd_only": [],
         "no_mask": [],
+        # joint-padded skeleton: V=25 -> 32 with 7 extra chain-connected
+        # joints (no patch — main() swaps the skeleton). Tests the window-
+        # family lane/sublane padding hypothesis: activations tile V 25->32
+        # physically either way, so if this measures ~equal, 22% of the
+        # V-dim work the hardware already does is pad waste; if it slows by
+        # the +28% FLOP ratio, there is no pad slack to reclaim.
+        "pad_v32": [],
         "remat": [],
         "dots_native": [(stgcn, "partitioned_gcn", gcn_native_out),
                         (graph_conv, "partitioned_gcn", gcn_native_out)],
@@ -194,8 +201,14 @@ def main(argv=None):
     variants = _variants()
     names = args.only.split(",") if args.only else list(variants)
     for name in names:
+        skel = load_skeleton("pku-mmd")
+        if name == "pad_v32":
+            skel["num_node"] = 32
+            skel["edge"] = list(skel["edge"]) + [
+                (i, i + 1) for i in range(24, 31)
+            ]
         model = MODELS[args.model](
-            num_classes=52, in_feat=3, graph=load_skeleton("pku-mmd"),
+            num_classes=52, in_feat=3, graph=skel,
             normalization="BatchNorm",
             remat=(name in ("remat", "remat_dots")),
         )

@@ -216,11 +216,28 @@ def main(argv=None):
     sol = achieved_tflops / args.peak_tflops
     unit = "windows" if kind == "window" else "frames"
     hbm_note = ""
+    dtype_bytes = 2 if args.dtype == "bfloat16" else 4
+    if args.model != "rt-st-gcn":
+        # the whole family is HBM-bound (docs/PERF.md round-4 audit):
+        # report the binding memory roofline next to the MXU one
+        from stgx.utils.flops import stgcn_train_hbm_bytes_per_window
+
+        if kind == "window":
+            bpw = stgcn_train_hbm_bytes_per_window(dtype_bytes=dtype_bytes)
+        else:  # co-st-gcn: full frame resolution, no stride decimation
+            bpw = stgcn_train_hbm_bytes_per_window(
+                window=1, stride=(1,) * 9, dtype_bytes=dtype_bytes
+            )
+        hbm_sol = fps * bpw / 1e9 / _V5E_HBM_GBPS
+        hbm_note = (
+            f"; {fps * bpw / 1e9:.0f} GB/s minimal traffic, "
+            f"{hbm_sol * 100:.0f}% of the binding HBM roofline"
+        )
     if args.model == "rt-st-gcn":
         from stgx.utils.flops import rt_stgcn_train_hbm_bytes_per_frame
 
         bytes_per_frame = rt_stgcn_train_hbm_bytes_per_frame(
-            dtype_bytes=2 if args.dtype == "bfloat16" else 4
+            dtype_bytes=dtype_bytes
         )
         hbm_gbps = fps * bytes_per_frame / 1e9
         hbm_sol = hbm_gbps / _V5E_HBM_GBPS

@@ -12,6 +12,7 @@ __all__ = [
     "costgcn_macs_per_frame",
     "stgcn_macs_per_window",
     "rt_stgcn_train_hbm_bytes_per_frame",
+    "stgcn_train_hbm_bytes_per_window",
     "param_words",
 ]
 
@@ -127,6 +128,60 @@ def rt_stgcn_train_hbm_bytes_per_frame(
         )
     bytes_fwd += out_ch[-1]  # head read (post joint-pool)
     return bytes_fwd * dtype_bytes * (1.0 + bwd_factor)
+
+
+def stgcn_train_hbm_bytes_per_window(
+    window: int = 50,
+    num_joints: int = 25,
+    partitions: int = 3,
+    in_feat: int = 3,
+    kernel: int = 9,
+    in_ch=(64, 64, 64, 64, 128, 128, 128, 256, 256),
+    out_ch=(64, 64, 64, 128, 128, 128, 256, 256, 256),
+    stride=(1, 1, 1, 2, 1, 1, 2, 1, 1),
+    residual=(1,) * 9,
+    dtype_bytes: int = 2,
+    bwd_factor: float = 2.0,
+) -> float:
+    """Minimal HBM bytes to train on one ST-GCN window — the window-family
+    analog of `rt_stgcn_train_hbm_bytes_per_frame`, for the combined
+    roofline ``max(FLOPs/MXU, bytes/HBM)`` the round-4 audit showed is the
+    honest bound (the window models are NOT purely compute-bound: the same
+    per-layer P-expanded aggregation intermediate dominates their traffic,
+    docs/PERF.md).
+
+    Perfect-per-op-fusion accounting per layer (reference layer chain
+    /root/reference/models/stgcn/stgcn.py:80-97): aggregate reads x, writes
+    the P-expanded intermediate; the gcn matmul reads it back, writes the
+    pre-TCN activation (length L); BN = stats read + normalize read/write;
+    the Γ-tap temporal conv reads the padded activation once (taps reuse in
+    VMEM) and writes L/s frames; second BN likewise; the residual is one
+    extra read of x (plus a write at shape changes). Backward counted as
+    ``bwd_factor`` × forward; parameter/optimizer traffic is per-step and
+    excluded.
+    """
+    v, p = num_joints, partitions
+    l = window
+    words = l * v * (in_feat + in_ch[0])  # fcn_in read + write
+    for cin, cout, s, res in zip(in_ch, out_ch, stride, residual):
+        lo = -(-l // s)
+        a_in = l * v * cin
+        a_pre = l * v * cout  # post-gcn, pre-TCN (full length)
+        a_out = lo * v * cout
+        words += (
+            a_in + p * a_in     # aggregate: read x, write P-expanded
+            + p * a_in + a_pre  # matmul: read it back, write y
+            + 3 * a_pre         # BN1: stats read + normalize read/write
+            + a_pre + a_out     # TCN: read once, write decimated
+            + 3 * a_out         # BN2: stats read + normalize read/write
+        )
+        if res:
+            words += a_in       # residual read
+            if cin != cout or s != 1:
+                words += a_out  # 1×1-conv residual write
+        l = lo
+    words += l * v * out_ch[-1]  # global-pool read for the head
+    return words * dtype_bytes * (1.0 + bwd_factor)
 
 
 def param_words(params) -> int:
