@@ -41,6 +41,31 @@ def test_variant_runs(name):
     assert np.isfinite(fps) and fps != 0
 
 
+def test_pad_v32_skeleton_builds_and_trains():
+    # the pad_v32 variant's skeleton swap (ablate.main): V=25 -> 32 with
+    # chain-connected extra joints must yield a finite spatial graph and a
+    # trainable model (the round-4 tile-padding A/B, docs/PERF.md)
+    from stgx.graph import Graph
+
+    skel = load_skeleton("pku-mmd")
+    skel["num_node"] = 32
+    skel["edge"] = list(skel["edge"]) + [(i, i + 1) for i in range(24, 31)]
+    g = Graph(num_node=32, edge=skel["edge"], center=skel["center"],
+              strategy="spatial")
+    assert g.A.shape == (3, 32, 32) and np.isfinite(g.A).all()
+    model = MODELS["st-gcn"](
+        num_classes=5, in_feat=3, graph=skel, normalization="BatchNorm",
+        kernel=3, in_ch=(8, 8), out_ch=(8, 8), stride=(1, 2),
+        residual=(1, 1), dropout=(0.0, 0.0), importance=True,
+    )
+    loss = Loss(np.ones(5, np.float32), "logits")
+    fps, _ = measure_train_throughput(
+        model, loss, frames_per_trial=10, trials=2, scan_lengths=(1, 2),
+        iters=1, kind="window",
+    )
+    assert np.isfinite(fps) and fps != 0
+
+
 def test_window_kind_runs():
     model = MODELS["st-gcn"](
         num_classes=5, in_feat=6, graph=load_skeleton("imu_fogit_ABCD"),
