@@ -24,9 +24,13 @@ in docs/PERF.md):
   acc_reduce_window / acc_slices / acc_toeplitz / acc_pallas — the four
       causal window-sum forms (stgx/ops/temporal.py, pallas_acc.py)
   gcn_wfirst   — channel-matmul-first graph conv
+  rt_fused     — cross-op fused Pallas layer core (rejected 3.2× slower,
+                 docs/PERF.md A/B log); rt_fused_fwd isolates its forward
   dots_native  — dots emit the compute dtype instead of preferred-fp32+cast
   norm_native  — norm statistics in the compute dtype (no fp32 upcast)
   no_mask      — ungated step (mask=None end to end)
+  pad_v32      — skeleton padded V=25→32 (tile-padding probe: +7.5% step
+                 for +28..64% V-dim FLOPs — docs/PERF.md round-4 audit)
   remat        — per-layer rematerialization
 
 Run: ``python -m stgx.bench.ablate [--model st-gcn] [--dtype bfloat16]
