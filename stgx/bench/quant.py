@@ -401,15 +401,15 @@ def quantized_costgcn_stream_step(model, qparams, state, x_t):
                 n_idx += 1
             delay = gamma // 2
             if delay > 0:
-                res = st["res_fifo"][st["res_idx"]]
-                res_fifo = jax.lax.dynamic_update_index_in_dim(
-                    st["res_fifo"], res_now, st["res_idx"], axis=0
+                # shift FIFO, static indices (stgx/ops/temporal.py rationale)
+                res = st["res_fifo"][0]
+                res_fifo = jnp.concatenate(
+                    [st["res_fifo"][1:], res_now[None]], axis=0
                 )
-                res_idx = jnp.mod(st["res_idx"] + 1, delay)
             else:
-                res, res_fifo, res_idx = res_now, st["res_fifo"], st["res_idx"]
+                res, res_fifo = res_now, st["res_fifo"]
         else:
-            res, res_fifo, res_idx = 0.0, st["res_fifo"], st["res_idx"]
+            res, res_fifo = 0.0, st["res_fifo"]
 
         A = layer["A"]
         agg = jnp.einsum("nvc,pvw->nwpc", x, A)
@@ -421,24 +421,19 @@ def quantized_costgcn_stream_step(model, qparams, state, x_t):
         n_idx += 1
         y = jax.nn.relu(y)
 
-        depth = st["fifo"].shape[0]
-        fifo = jax.lax.dynamic_update_index_in_dim(st["fifo"], y, st["idx"], axis=0)
-        taps = jnp.mod(st["idx"] - jnp.arange(gamma, dtype=jnp.int32) * d, depth)
-        # taps[k] holds u[t-k·d]; (Γ,N,V,C) → (N,V,Γ·C) matches the
-        # pre-flipped (Γ·C, C) kernel layout
-        u = jnp.moveaxis(fifo[taps], 0, 2).reshape(n_, v_, -1)
+        fifo = jnp.concatenate([st["fifo"][1:], y[None]], axis=0)
+        depth = fifo.shape[0]
+        # u[t-k·d] at static slot depth-1-k·d; (Γ,N,V,C) → (N,V,Γ·C)
+        # matches the pre-flipped (Γ·C, C) kernel layout
+        taps = jnp.stack(
+            [fifo[depth - 1 - k * d] for k in range(gamma)], axis=0
+        )
+        u = jnp.moveaxis(taps, 0, 2).reshape(n_, v_, -1)
         tq, ts, tb = layer["tcn"]
         y = int8_matmul(u, tq, ts, site=f"layers.{i}.tcn") + tb
         y = _stream_norm(kind, layer["norms"][norm_names[n_idx]], y)
 
-        new_state.append(
-            {
-                "fifo": fifo,
-                "idx": jnp.mod(st["idx"] + 1, depth),
-                "res_fifo": res_fifo,
-                "res_idx": res_idx,
-            }
-        )
+        new_state.append({"fifo": fifo, "res_fifo": res_fifo})
         x = jax.nn.relu(y + res)
 
     x = jnp.mean(x, axis=1)

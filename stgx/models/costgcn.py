@@ -180,14 +180,16 @@ def init_stream_state(model: CoStgcn, params, batch: int = 1, dtype=jnp.float32)
     for i in range(len(model.in_ch)):
         c = model.out_ch[i]
         depth = (model.kernel - 1) * model.dilation[i] + 1
+        # shift FIFOs with static tap indices (newest at slot depth-1):
+        # cursor-indexed rings defeated XLA's in-place carry aliasing in the
+        # scan serving loop and paid full-state copies per frame (see
+        # stgx/ops/temporal.py causal_accumulate_step and docs/PERF.md)
         state.append(
             {
                 "fifo": jnp.zeros((depth, batch, v, c), dtype=dtype),
-                "idx": jnp.zeros((), jnp.int32),
                 "res_fifo": jnp.zeros(
                     (max(model.kernel // 2, 1), batch, v, c), dtype=dtype
                 ),
-                "res_idx": jnp.zeros((), jnp.int32),
             }
         )
     return state
@@ -225,18 +227,17 @@ def stream_step(model: CoStgcn, params, state, x_t):
                 res_now = x @ lp["res_kernel"] + lp["res_bias"]
                 res_now = _stream_norm(kind, lp[norm_names[n_idx]], res_now)
                 n_idx += 1
-            # delayed residual: read slot idx (oldest, = t - Γ//2), then push
+            # delayed residual: slot 0 holds t - Γ//2; shift res_now in
             delay = gamma // 2
             if delay > 0:
-                res = st["res_fifo"][st["res_idx"]]
-                res_fifo = jax.lax.dynamic_update_index_in_dim(
-                    st["res_fifo"], res_now, st["res_idx"], axis=0
+                res = st["res_fifo"][0]
+                res_fifo = jnp.concatenate(
+                    [st["res_fifo"][1:], res_now[None]], axis=0
                 )
-                res_idx = jnp.mod(st["res_idx"] + 1, delay)
             else:
-                res, res_fifo, res_idx = res_now, st["res_fifo"], st["res_idx"]
+                res, res_fifo = res_now, st["res_fifo"]
         else:
-            res, res_fifo, res_idx = 0.0, st["res_fifo"], st["res_idx"]
+            res, res_fifo = 0.0, st["res_fifo"]
 
         y = partitioned_gcn(
             x[:, None], A, lp["GraphConv_0"]["kernel"], lp["GraphConv_0"]["bias"]
@@ -245,24 +246,19 @@ def stream_step(model: CoStgcn, params, state, x_t):
         n_idx += 1
         y = nn.relu(y)
 
-        # push into the main FIFO, then apply the Γ-tap dilated kernel:
+        # shift into the main FIFO, then apply the Γ-tap dilated kernel:
         # batch causal conv gives y[t] = Σ_j W[j]·u[t-(Γ-1-j)·d]
-        depth = st["fifo"].shape[0]
-        fifo = jax.lax.dynamic_update_index_in_dim(st["fifo"], y, st["idx"], axis=0)
-        taps = jnp.mod(st["idx"] - jnp.arange(gamma, dtype=jnp.int32) * d, depth)
-        # taps[k] holds u[t-k·d]; weight for u[t-k·d] is W[Γ-1-k]
+        fifo = jnp.concatenate([st["fifo"][1:], y[None]], axis=0)
+        depth = fifo.shape[0]
+        # u[t-k·d] sits at static slot depth-1-k·d; weight for it is W[Γ-1-k]
+        u = jnp.stack(
+            [fifo[depth - 1 - k * d] for k in range(gamma)], axis=0
+        )
         W = jnp.flip(lp["tcn_kernel"], axis=0)  # W'[k] = W[Γ-1-k]
-        y = jnp.einsum("knvc,kcd->nvd", fifo[taps], W) + lp["tcn_bias"]
+        y = jnp.einsum("knvc,kcd->nvd", u, W) + lp["tcn_bias"]
         y = _stream_norm(kind, lp[norm_names[n_idx]], y)
 
-        new_state.append(
-            {
-                "fifo": fifo,
-                "idx": jnp.mod(st["idx"] + 1, depth),
-                "res_fifo": res_fifo,
-                "res_idx": res_idx,
-            }
-        )
+        new_state.append({"fifo": fifo, "res_fifo": res_fifo})
         x = nn.relu(y + res)
 
     x = jnp.mean(x, axis=1)
