@@ -38,7 +38,10 @@ from stgx.bench.streaming import (
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
-    ap.add_argument("--frames", type=int, default=256)
+    # 4096 streamed frames: at per-frame latencies of tens of µs a
+    # 256-frame scan's on-device time was jitter-sized (±10 ms tunnel RTT)
+    # and mode deltas were noise — same conditioning fix as bench.py (r4)
+    ap.add_argument("--frames", type=int, default=4096)
     ap.add_argument("--classes", type=int, default=52,
                     help="used when the config's actions file is absent")
     ap.add_argument("--repeats", type=int, default=3)
