@@ -207,10 +207,13 @@ def main(argv=None):
     for name in names:
         skel = load_skeleton("pku-mmd")
         if name == "pad_v32":
+            # pad joints get self-loops like every real joint (the
+            # _with_self_loops convention, stgx/graph.py) so the spatial
+            # partition treats them structurally identically
             skel["num_node"] = 32
             skel["edge"] = list(skel["edge"]) + [
                 (i, i + 1) for i in range(24, 31)
-            ]
+            ] + [(i, i) for i in range(25, 32)]
         model = MODELS[args.model](
             num_classes=52, in_feat=3, graph=skel,
             normalization="BatchNorm",

@@ -36,7 +36,7 @@ import numpy as np
 
 from stgx.graph import Graph
 from stgx.models.rtstgcn import _stream_norm
-from stgx.ops.temporal import causal_accumulate_step, init_accumulator_state
+from stgx.ops.temporal import init_accumulator_state
 
 __all__ = [
     "quantize_weight",
@@ -102,9 +102,16 @@ def quant_mode(mode: str, scales=None):
 
 def _check_static_exhausted():
     """A completed static trace must have consumed every calibrated site —
-    fewer means the calibration belongs to a different model/config."""
+    fewer means the calibration belongs to a different model/config.
+
+    Sites suffixed ``.state`` are exempt: they price FIFO *writes* and are
+    consumed only when the cell carries int8 FIFO state
+    (``init_quant_stream_state(..., dtype=jnp.int8)``); a calibration always
+    observes them so one calibration serves every state dtype."""
     if _MODE == "static" and _CONSUMED:
-        missing = set(_STATIC) - _CONSUMED
+        missing = {
+            s for s in set(_STATIC) - _CONSUMED if not s.endswith(".state")
+        }
         if missing:
             raise ValueError(
                 "static quantization: calibrated sites never consumed by "
@@ -120,28 +127,33 @@ def _static_reset():
     _CONSUMED = set()
 
 
+def _static_scale(site):
+    """Consume-and-return the calibrated scale for ``site`` (static mode)."""
+    if site is None:
+        raise ValueError(
+            "static quantization needs an explicit site id at "
+            "every int8_matmul call"
+        )
+    if _CONSUMED is not None:
+        if site in _CONSUMED:
+            raise ValueError(
+                f"quantization site {site!r} consumed twice in one "
+                "trace — duplicate site id in the cell"
+            )
+        _CONSUMED.add(site)
+    if site not in _STATIC:
+        raise KeyError(
+            f"no calibrated scale for site {site!r} — the "
+            "calibration was taken on a different model/config "
+            f"(calibrated sites: {sorted(_STATIC)})"
+        )
+    return _STATIC[site]
+
+
 def _quantize_act(x, scale=None, site=None):
     if scale is None:
         if _MODE == "static" and _STATIC is not None:
-            if site is None:
-                raise ValueError(
-                    "static quantization needs an explicit site id at "
-                    "every int8_matmul call"
-                )
-            if _CONSUMED is not None:
-                if site in _CONSUMED:
-                    raise ValueError(
-                        f"quantization site {site!r} consumed twice in one "
-                        "trace — duplicate site id in the cell"
-                    )
-                _CONSUMED.add(site)
-            if site not in _STATIC:
-                raise KeyError(
-                    f"no calibrated scale for site {site!r} — the "
-                    "calibration was taken on a different model/config "
-                    f"(calibrated sites: {sorted(_STATIC)})"
-                )
-            scale = _STATIC[site]
+            scale = _static_scale(site)
         else:
             scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) / 127.0
             if _OBSERVER is not None:
@@ -163,8 +175,21 @@ def int8_matmul(x, w_q, s_w, act_scale=None, site=None):
     still holds int8 (4× less weight traffic), no activation quantization.
     ``site`` is the stable site id the static/calibration modes key scales
     by (e.g. ``"layers.3.gcn"``).
+
+    An already-int8 ``x`` (an int8 FIFO-state tensor feeding the matmul
+    directly) skips activation quantization: ``act_scale`` must then carry
+    the scale its values were stored under.
     """
     dn = (((x.ndim - 1,), (0,)), ((), ()))
+    if x.dtype == jnp.int8:
+        if act_scale is None:
+            raise ValueError(
+                "pre-quantized int8 input needs its storage act_scale"
+            )
+        acc = jax.lax.dot_general(
+            x, w_q, dn, preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * (act_scale * s_w)
     if _MODE == "w8":
         acc = jax.lax.dot_general(
             x, w_q.astype(x.dtype), dn, preferred_element_type=jnp.float32
@@ -175,6 +200,70 @@ def int8_matmul(x, w_q, s_w, act_scale=None, site=None):
         x_q, w_q, dn, preferred_element_type=jnp.int32,
     )
     return acc.astype(jnp.float32) * (s_x * s_w)
+
+
+# -- FIFO-state dtype ----------------------------------------------------------
+# The round-4 serving audit showed per-layer FIFO state read+write is the
+# binding resource of the batched serving step (bf16 state ≈ halves the step;
+# docs/PERF.md serving section) — while the int8 cells carried fp32 state.
+# The state dtype is chosen at init (``init_quant_stream_state(...,
+# dtype=...)``) and the cells adapt to it: fp32/bf16 states are plain casts;
+# int8 state stores each frame symmetric-int8 under a *static calibrated*
+# scale (a per-frame dynamic scale would misprice older taps, which are
+# dequantized at later steps). A calibration pass always observes the
+# ``.state`` write sites so one scales dict serves every state dtype.
+
+
+def _observe_state_site(y, site):
+    if _OBSERVER is not None:
+        _OBSERVER.append(
+            (site, jnp.maximum(jnp.max(jnp.abs(y)), 1e-12) / 127.0)
+        )
+
+
+def _fifo_put(y, fifo_dtype, site, observe: bool = True):
+    """Value to store into a streaming-FIFO slot.
+
+    Returns ``(stored, scale)`` — ``scale`` is the static dequantization
+    scale for int8 state, else None. ``observe=False`` for sites whose scale
+    is already observed elsewhere in the trace (the CoST-GCN main FIFO
+    shares its site with the tcn matmul that consumes the taps)."""
+    if fifo_dtype == jnp.int8:
+        if _MODE != "static" or _STATIC is None:
+            raise ValueError(
+                "int8 FIFO state needs static calibrated scales "
+                "(quant_mode('static', calibrate_scales(...))): stored "
+                "frames are dequantized at later steps, so a live per-frame "
+                "scale would misprice older taps"
+            )
+        s = _static_scale(site)
+        q = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+        return q, s
+    if observe:
+        _observe_state_site(y, site)
+    return y.astype(fifo_dtype), None
+
+
+def _quant_acc_step(state, y, kernel: int, stride: int, site):
+    """State-dtype-aware twin of ``temporal.causal_accumulate_step``: the
+    RT causal window-sum with the FIFO held in the state's dtype (fp32
+    passthrough / bf16 cast / int8 under the site's static scale). The
+    fresh frame enters the sum at full precision; only the K-1 past taps
+    pay the storage rounding, so error per output is bounded by one
+    quantization step per tap — it does not compound across frames."""
+    k = kernel // stride
+    if k <= 1:
+        return y, state
+    stored, s = _fifo_put(y, state["fifo"].dtype, site)
+    fifo = jnp.concatenate([state["fifo"][1:], stored[None]], axis=0)
+    depth = fifo.shape[0]
+    taps = [fifo[depth - 1 - i * stride] for i in range(1, k)]
+    if s is not None:
+        acc = jnp.sum(jnp.stack(taps).astype(jnp.int32), axis=0)
+        y_t = y + acc.astype(jnp.float32) * s
+    else:
+        y_t = y + jnp.sum(jnp.stack(taps).astype(y.dtype), axis=0)
+    return y_t, {"fifo": fifo}
 
 
 def calibrate_scales(model, qparams, frames, name: str):
@@ -296,7 +385,10 @@ def quantized_stream_step(model, qparams, state, x_t):
         y = int8_matmul(agg.reshape(n_, v_, -1), wq, sw, site=f"layers.{i}.gcn")
         y = y + jnp.einsum("pvw,pd->wd", A, gb)
 
-        y, st = causal_accumulate_step(state[i], y, model.kernel, model.stride[i])
+        y, st = _quant_acc_step(
+            state[i], y, model.kernel, model.stride[i],
+            site=f"layers.{i}.state",
+        )
         new_state.append(st)
         y = _stream_norm(kind, layer["norms"][norm_names[n_idx]], y)
         y = jax.nn.relu(y)
@@ -402,9 +494,15 @@ def quantized_costgcn_stream_step(model, qparams, state, x_t):
             delay = gamma // 2
             if delay > 0:
                 # shift FIFO, static indices (stgx/ops/temporal.py rationale)
-                res = st["res_fifo"][0]
+                stored_res, s_res = _fifo_put(
+                    res_now, st["res_fifo"].dtype,
+                    site=f"layers.{i}.res.state",
+                )
+                res = st["res_fifo"][0].astype(jnp.float32)
+                if s_res is not None:
+                    res = res * s_res
                 res_fifo = jnp.concatenate(
-                    [st["res_fifo"][1:], res_now[None]], axis=0
+                    [st["res_fifo"][1:], stored_res[None]], axis=0
                 )
             else:
                 res, res_fifo = res_now, st["res_fifo"]
@@ -421,7 +519,14 @@ def quantized_costgcn_stream_step(model, qparams, state, x_t):
         n_idx += 1
         y = jax.nn.relu(y)
 
-        fifo = jnp.concatenate([st["fifo"][1:], y[None]], axis=0)
+        # the main FIFO's write site IS the tcn matmul's activation site —
+        # every tap is a past y, so one calibrated scale covers both; with
+        # int8 state the taps feed the matmul pre-quantized (no per-step
+        # quantize op at all) and the site is consumed at the write instead
+        stored, s_fifo = _fifo_put(
+            y, st["fifo"].dtype, site=f"layers.{i}.tcn", observe=False
+        )
+        fifo = jnp.concatenate([st["fifo"][1:], stored[None]], axis=0)
         depth = fifo.shape[0]
         # u[t-k·d] at static slot depth-1-k·d; (Γ,N,V,C) → (N,V,Γ·C)
         # matches the pre-flipped (Γ·C, C) kernel layout
@@ -430,7 +535,12 @@ def quantized_costgcn_stream_step(model, qparams, state, x_t):
         )
         u = jnp.moveaxis(taps, 0, 2).reshape(n_, v_, -1)
         tq, ts, tb = layer["tcn"]
-        y = int8_matmul(u, tq, ts, site=f"layers.{i}.tcn") + tb
+        if s_fifo is not None:
+            y = int8_matmul(u, tq, ts, act_scale=s_fifo) + tb
+        else:
+            y = int8_matmul(
+                u.astype(jnp.float32), tq, ts, site=f"layers.{i}.tcn"
+            ) + tb
         y = _stream_norm(kind, layer["norms"][norm_names[n_idx]], y)
 
         new_state.append({"fifo": fifo, "res_fifo": res_fifo})
@@ -586,12 +696,19 @@ def _stgcn_window_qstep(model, qparams, state, x_t):
     """Per-frame streaming via window re-run (reference
     WindowSegment.get_segment_rt semantics, segment_generator.py:147-149);
     the window length is fixed by the state buffer from init."""
-    buf = jnp.roll(state["buf"], -1, axis=1).at[:, -1].set(x_t)
+    buf = jnp.roll(state["buf"], -1, axis=1).at[:, -1].set(
+        x_t.astype(state["buf"].dtype)
+    )
     return quantized_stgcn_window(model, qparams, buf), {"buf": buf}
 
 
 def _init_stgcn_quant_state(model, batch=1, window: int = 50,
                             dtype=jnp.float32):
+    if dtype == jnp.int8:
+        raise ValueError(
+            "st-gcn's window buffer holds raw input frames — no calibrated "
+            "scale exists for them; use float32/bfloat16 state"
+        )
     v = model.graph["num_node"]
     return {"buf": jnp.zeros((batch, window, v, model.in_feat), dtype=dtype)}
 
@@ -604,18 +721,24 @@ QUANT_MODELS = {
     "rt-st-gcn": (
         quantize_rtstgcn,
         quantized_stream_step,
-        lambda model, batch=1: init_quant_stream_state(model, batch),
+        lambda model, batch=1, dtype=jnp.float32: init_quant_stream_state(
+            model, batch, dtype
+        ),
     ),
     "co-st-gcn": (
         quantize_costgcn,
         quantized_costgcn_stream_step,
-        lambda model, batch=1: _init_costgcn_quant_state(model, batch),
+        lambda model, batch=1, dtype=jnp.float32: _init_costgcn_quant_state(
+            model, batch, dtype
+        ),
     ),
     "st-gcn": (
         quantize_stgcn,
         _stgcn_window_qstep,
-        lambda model, batch=1, window=50: _init_stgcn_quant_state(
-            model, batch, window
+        # the window buffer holds RAW input frames (no calibrated scale
+        # exists for them), so its state dtype stays fp32/bf16
+        lambda model, batch=1, window=50, dtype=jnp.float32: (
+            _init_stgcn_quant_state(model, batch, window, dtype)
         ),
     ),
 }

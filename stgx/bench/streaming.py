@@ -157,7 +157,7 @@ def measure_stream_latency_onchip(model, name, params, frames, repeats: int = 4,
         np.asarray(run(params, state, fr))  # compile + warm
         times = []
         for r in range(repeats):
-            fr_r = fr * (1.0 + 0.01 * r)  # defeat result caching
+            fr_r = fr * (1.0 + 0.01 * (r + 1))  # differ from warm-up too
             np.asarray(fr_r)
             t0 = time.perf_counter()
             np.asarray(run(params, state, fr_r))
@@ -183,13 +183,15 @@ def measure_stream_latency_onchip(model, name, params, frames, repeats: int = 4,
 
 
 def measure_quant_onchip(model, name, qparams, frames, repeats: int = 3,
-                         mode: str = "dynamic", scales=None):
+                         mode: str = "dynamic", scales=None,
+                         state_dtype=None):
     """On-chip scan-slope per-frame latency of the int8 streaming cell in a
     given quantization mode ("dynamic"/"static"/"w8" — see stgx.bench.quant).
 
     The ``quant_mode`` context stays open across every trace in the timed
     region (short + long streams jit separately), so static scales bind
-    consistently at each trace.
+    consistently at each trace. ``state_dtype`` picks the FIFO-state dtype
+    (int8 requires mode="static"; see quant._fifo_put).
     """
     import jax
     import jax.numpy as jnp
@@ -197,7 +199,7 @@ def measure_quant_onchip(model, name, qparams, frames, repeats: int = 3,
     from stgx.bench.quant import QUANT_MODELS, quant_mode
 
     _, qstep_fn, qinit = QUANT_MODELS[name]
-    state0 = qinit(model)
+    state0 = qinit(model, dtype=state_dtype or jnp.float32)
     frames = jnp.asarray(frames)
     l_long = frames.shape[0]
     l_short = max(l_long // 8, 1)
@@ -216,7 +218,7 @@ def measure_quant_onchip(model, name, qparams, frames, repeats: int = 3,
             np.asarray(qrun(qparams, state0, fr))  # compile + warm
             best = float("inf")
             for r in range(repeats):
-                fr_r = fr * (1.0 + 0.01 * r)
+                fr_r = fr * (1.0 + 0.01 * (r + 1))
                 np.asarray(fr_r)
                 t0 = time.perf_counter()
                 np.asarray(qrun(qparams, state0, fr_r))

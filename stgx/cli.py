@@ -563,14 +563,32 @@ def cmd_export(cfg):
             _, params, _ = restore_checkpoint(ckpt, params, opt_state)
             log(f"loaded checkpoint {ckpt}")
 
+    quantize = cfg["processor"].get("quantize")
+    state_dtype = None
+    calib_frames = None
+    if quantize:
+        import jax.numpy as jnp
+
+        state_dtype = {
+            None: None, "float32": jnp.float32,
+            "bfloat16": jnp.bfloat16, "int8": jnp.int8,
+        }[cfg["processor"].get("state_dtype")]
+        # calibrate activation scales on real validation frames (the
+        # reference's calibrate pass, processor.py:909-913)
+        calib_frames = np.asarray(x0[:512], np.float32)
     path = cfg["processor"].get("export") or os.path.join(
-        out_dir, "stream_cell.stablehlo"
+        out_dir,
+        "stream_cell_int8.stablehlo" if quantize else "stream_cell.stablehlo",
     )
     save_streaming_cell(
         path, trainer.model, cfg["processor"]["model"], params,
         window=trainer.receptive_field,
+        quantize=quantize, calib_frames=calib_frames, state_dtype=state_dtype,
     )
-    log(f"exported streaming cell → {path}")
+    log(
+        f"exported streaming cell → {path} "
+        f"({os.path.getsize(path) / 1e6:.2f} MB artifact)"
+    )
     return 0
 
 

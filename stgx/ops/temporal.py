@@ -36,6 +36,8 @@ __all__ = [
     "init_accumulator_state",
     "set_acc_impl",
     "get_acc_impl",
+    "set_acc_step_impl",
+    "get_acc_step_impl",
 ]
 
 # Accumulator backend, read at trace time (like stgx.ops.graph_conv._IMPL):
@@ -53,6 +55,14 @@ import os as _os
 _ACC_IMPLS = ("auto", "pallas", "xla", "reduce_window", "slices", "toeplitz")
 _ACC_IMPL = _os.environ.get("STGX_ACC_IMPL", "auto")
 
+# Streaming-step form (causal_accumulate_step): "taps" = K-1 static slices
+# summed (the round-4 shift-FIFO default), "fifo_sum" = one reduction over
+# the whole FIFO (masked per stride phase) — O(1) HLO ops instead of O(Γ),
+# candidate for deep kernels (Γ=69). A/B on the real chip before changing
+# the default; values agree up to fp add order.
+_ACC_STEP_IMPLS = ("taps", "fifo_sum")
+_ACC_STEP_IMPL = _os.environ.get("STGX_ACC_STEP_IMPL", "taps")
+
 
 def set_acc_impl(name: str) -> None:
     global _ACC_IMPL
@@ -63,6 +73,17 @@ def set_acc_impl(name: str) -> None:
 
 def get_acc_impl() -> str:
     return _ACC_IMPL
+
+
+def set_acc_step_impl(name: str) -> None:
+    global _ACC_STEP_IMPL
+    if name not in _ACC_STEP_IMPLS:
+        raise ValueError(f"unknown acc step impl: {name!r}")
+    _ACC_STEP_IMPL = name
+
+
+def get_acc_step_impl() -> str:
+    return _ACC_STEP_IMPL
 
 
 def temporal_conv(x, W, b=None, stride: int = 1, dilation: int = 1,
@@ -310,6 +331,20 @@ def causal_accumulate_step(state, x_t, kernel_size: int, stride: int):
 
     fifo = jnp.concatenate([state["fifo"][1:], x_t[None]], axis=0)
     depth = fifo.shape[0]
+    if _ACC_STEP_IMPL == "fifo_sum":
+        # one fused reduction over the whole FIFO instead of K-1 static
+        # slices (the slice list is O(Γ) ops at Γ=69); non-tap slots are
+        # masked by a constant 0/1 vector when stride > 1 — values equal
+        # the taps form up to fp add order
+        if stride == 1:
+            y_t = jnp.sum(fifo, axis=0)
+        else:
+            tap_mask = jnp.asarray(
+                [(depth - 1 - s) % stride == 0 for s in range(depth)],
+                fifo.dtype,
+            )
+            y_t = jnp.sum(fifo * tap_mask[:, None, None, None], axis=0)
+        return y_t, {"fifo": fifo}
     # frame (t - i*stride) sits at static slot depth-1-i*stride
     taps = [fifo[depth - 1 - i * stride] for i in range(1, k)]
     y_t = x_t + jnp.sum(jnp.stack(taps), axis=0)

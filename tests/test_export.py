@@ -131,3 +131,56 @@ def test_export_cli(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     out = os.path.join(cfg["processor"]["out"], "stream_cell.stablehlo")
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_export_int8_roundtrip(tmp_path):
+    """The int8 deployment artifact (the reference jit-scripts its converted
+    int8 model, processor.py:928-931): export the static-scale int8 cell
+    with int8 FIFO state, deserialize, drive — equals the in-JAX quantized
+    stream, and the artifact is meaningfully smaller than the fp32 one."""
+    from stgx.bench.quant import (
+        QUANT_MODELS,
+        calibrate_scales,
+        quant_mode,
+    )
+    from stgx.export import (
+        export_streaming_cell,
+        load_streaming_cell,
+        save_streaming_cell,
+    )
+
+    model, params, x = _model()
+    quantize, qstep, qinit = QUANT_MODELS["rt-st-gcn"]
+    qparams = quantize(model, params)
+    calib = x[0]
+
+    fp_path = os.path.join(tmp_path, "cell.stablehlo")
+    q_path = os.path.join(tmp_path, "cell_int8.stablehlo")
+    save_streaming_cell(fp_path, model, "rt-st-gcn", params, batch=2)
+    save_streaming_cell(
+        q_path, model, "rt-st-gcn", params, batch=2,
+        quantize="int8-static", calib_frames=calib, state_dtype=jnp.int8,
+    )
+    # NB: at this test's toy width the blob is dominated by program text,
+    # not weights, so no size comparison here — the 3.5× artifact shrink
+    # is measured at real widths (docs/PERF.md); the CLI logs the bytes
+    assert os.path.getsize(q_path) > 0 and os.path.getsize(fp_path) > 0
+
+    # in-JAX reference: the same static int8 cell with int8 state
+    scales = calibrate_scales(model, qparams, jnp.asarray(calib), "rt-st-gcn")
+    with quant_mode("static", scales):
+        state = qinit(model, batch=2, dtype=jnp.int8)
+        want = []
+        for t in range(x.shape[1]):
+            logits, state = qstep(model, qparams, state, jnp.asarray(x[:, t]))
+            want.append(np.asarray(logits))
+
+    cell = load_streaming_cell(q_path)
+    state = qinit(model, batch=2, dtype=jnp.int8)
+    got = []
+    for t in range(x.shape[1]):
+        logits, state = cell.call(state, jnp.asarray(x[:, t]))
+        got.append(np.asarray(logits))
+    np.testing.assert_allclose(
+        np.stack(got), np.stack(want), atol=1e-5, rtol=1e-5
+    )

@@ -377,3 +377,129 @@ def test_quantized_costgcn_size_reduction():
     params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
     qparams = quantize_costgcn(model, params)
     assert quantized_size_bytes(qparams) < 0.75 * param_bytes(params)
+
+
+# -- FIFO-state dtype (round 5: state bytes bind the serving step) -------------
+
+
+def test_int8_state_requires_static_scales():
+    """A live per-frame scale would misprice older taps — int8 FIFO state
+    must refuse to trace outside static mode."""
+    import pytest
+
+    model, params, x = _model_and_params()
+    qparams = quantize_rtstgcn(model, params)
+    state = init_quant_stream_state(model, dtype=jnp.int8)
+    with pytest.raises(ValueError, match="static calibrated scales"):
+        quantized_stream_step(model, qparams, state, jnp.asarray(x[:, 0]))
+
+
+def test_calibration_observes_state_sites():
+    """One calibration serves every state dtype: the dict carries `.state`
+    write sites, and a fp32-state static trace is NOT required to consume
+    them (they are exempt from the exhaustion check)."""
+    from stgx.bench.quant import calibrate_scales, quant_mode
+
+    model, params, x = _model_and_params()
+    qparams = quantize_rtstgcn(model, params)
+    scales = calibrate_scales(model, qparams, jnp.asarray(x[0]), "rt-st-gcn")
+    state_sites = [s for s in scales if s.endswith(".state")]
+    assert len(state_sites) == len(model.in_ch), state_sites
+    # fp32-state static trace leaves .state sites unconsumed — no error
+    with quant_mode("static", scales):
+        quantized_stream_step(
+            model, qparams, init_quant_stream_state(model),
+            jnp.asarray(x[:, 0]),
+        )
+
+
+def _run_rt_quant_stream(model, qparams, x, state):
+    outs = []
+    for t in range(x.shape[1]):
+        logits, state = quantized_stream_step(
+            model, qparams, state, jnp.asarray(x[:, t])
+        )
+        outs.append(np.asarray(logits))
+    return np.stack(outs, axis=1)
+
+
+def test_rt_state_dtype_variants_track_fp32_state():
+    """int8/bf16 FIFO state must track the fp32-state static cell: each
+    slot is rounded once at write, so the error is bounded per tap and
+    does not compound across the stream."""
+    from stgx.bench.quant import calibrate_scales, quant_mode
+
+    model, params, x = _model_and_params()
+    qparams = quantize_rtstgcn(model, params)
+    scales = calibrate_scales(model, qparams, jnp.asarray(x[0]), "rt-st-gcn")
+
+    with quant_mode("static", scales):
+        y32 = _run_rt_quant_stream(
+            model, qparams, x, init_quant_stream_state(model)
+        )
+        y16 = _run_rt_quant_stream(
+            model, qparams, x,
+            init_quant_stream_state(model, dtype=jnp.bfloat16),
+        )
+        y8 = _run_rt_quant_stream(
+            model, qparams, x, init_quant_stream_state(model, dtype=jnp.int8)
+        )
+    for y in (y16, y8):
+        agree = (y.argmax(-1) == y32.argmax(-1)).mean()
+        assert agree > 0.9, agree
+        rel = np.abs(y - y32).mean() / (np.abs(y32).mean() + 1e-9)
+        assert rel < 0.15, rel
+    # bounded, not compounding: late-stream error comparable to early
+    half = x.shape[1] // 2
+    early = np.abs(y8 - y32)[:, :half].max()
+    late = np.abs(y8 - y32)[:, half:].max()
+    assert late < 5 * early + 1e-3, (early, late)
+
+
+def test_costgcn_int8_state_tracks_fp32_state():
+    """CoST-GCN's main FIFO shares its site with the tcn matmul (the taps
+    ARE the matmul input), and the residual FIFO has its own `.state`
+    site; with int8 state the matmul consumes pre-quantized taps."""
+    from stgx.bench.quant import QUANT_MODELS, calibrate_scales, quant_mode
+    from stgx.models.costgcn import CoStgcn
+
+    model = CoStgcn(
+        num_classes=5, in_feat=6, graph=SKEL, kernel=3,
+        in_ch=(8, 8, 16), out_ch=(8, 16, 16), dilation=(1, 2, 1),
+        residual=(1, 1, 1), dropout=(0.0,) * 3, normalization="LayerNorm",
+    )
+    x = RNG.normal(size=(1, 24, 7, 6)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    quantize, qstep, qinit = QUANT_MODELS["co-st-gcn"]
+    qparams = quantize(model, params)
+    scales = calibrate_scales(model, qparams, jnp.asarray(x[0]), "co-st-gcn")
+    assert any(s.endswith(".res.state") for s in scales), sorted(scales)
+
+    def run(dtype):
+        with quant_mode("static", scales):
+            state = qinit(model, dtype=dtype)
+            outs = []
+            for t in range(x.shape[1]):
+                logits, state = qstep(
+                    model, qparams, state, jnp.asarray(x[:, t])
+                )
+                outs.append(np.asarray(logits))
+        return np.stack(outs, axis=1)
+
+    y32 = run(jnp.float32)
+    y8 = run(jnp.int8)
+    agree = (y8.argmax(-1) == y32.argmax(-1)).mean()
+    assert agree > 0.9, agree
+    rel = np.abs(y8 - y32).mean() / (np.abs(y32).mean() + 1e-9)
+    assert rel < 0.15, rel
+
+
+def test_int8_state_halves_state_bytes():
+    """The serving lever itself: int8 state is 4x smaller than fp32."""
+    def state_bytes(state):
+        return sum(a.size * a.dtype.itemsize for a in jax.tree.leaves(state))
+
+    model, _, _ = _model_and_params()
+    b32 = state_bytes(init_quant_stream_state(model, batch=8))
+    b8 = state_bytes(init_quant_stream_state(model, batch=8, dtype=jnp.int8))
+    assert b8 * 4 == b32, (b8, b32)

@@ -175,3 +175,38 @@ def test_batch_form_matches_torch_twin():
         with torch.no_grad():
             yt = tw(to_torch(x)).numpy().transpose(0, 2, 1)  # → (N, L, classes)
         np.testing.assert_allclose(y, yt, atol=2e-4, rtol=1e-4)
+
+
+def test_acc_step_fifo_sum_matches_taps():
+    """The one-reduction streaming accumulator form ("fifo_sum",
+    stgx/ops/temporal.py) must equal the static-tap-slices default up to
+    fp add order, for stride 1 and the phase-masked stride-2 form."""
+    import numpy as np
+
+    from stgx.ops.temporal import (
+        causal_accumulate_step,
+        init_accumulator_state,
+        set_acc_step_impl,
+    )
+
+    rng = np.random.default_rng(11)
+    for kernel, stride in [(9, 1), (9, 2), (69, 1), (69, 2), (3, 3)]:
+        xs = jnp.asarray(rng.normal(size=(40, 2, 7, 8)).astype(np.float32))
+
+        def run():
+            state = init_accumulator_state(2, 7, 8, kernel, stride)
+            ys = []
+            for t in range(xs.shape[0]):
+                y, state = causal_accumulate_step(state, xs[t], kernel, stride)
+                ys.append(np.asarray(y))
+            return np.stack(ys)
+
+        try:
+            set_acc_step_impl("taps")
+            want = run()
+            set_acc_step_impl("fifo_sum")
+            got = run()
+        finally:
+            set_acc_step_impl("taps")
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"kernel={kernel} stride={stride}")
