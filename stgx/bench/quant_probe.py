@@ -29,11 +29,29 @@ import numpy as np
 
 
 def _hlo_histogram(text: str) -> collections.Counter:
-    """Opcode histogram of an HLO module text (post-optimization)."""
+    """Opcode histogram of an HLO module text (post-optimization).
+
+    Instruction lines read ``%name = SHAPE opcode(args), ...`` where SHAPE
+    is a single space-free token (`bf16[8,25]{1,0:T(8,128)}` — TPU layout
+    annotations contain colons and parens) or a parenthesized tuple."""
     ops = collections.Counter()
     for line in text.splitlines():
-        m = re.match(r"\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*[\w\[\]{},\s/]*?(\w+)\(",
-                     line)
+        line = line.strip()
+        if not line.startswith(("%", "ROOT ")) or " = " not in line:
+            continue
+        rhs = line.split(" = ", 1)[1]
+        if rhs.startswith("("):  # tuple shape: skip to its matching paren
+            depth = 0
+            for i, ch in enumerate(rhs):
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth == 0:
+                    rhs = rhs[i + 1:]
+                    break
+        else:  # scalar/array shape: one space-free token
+            parts = rhs.split(None, 1)
+            rhs = parts[1] if len(parts) > 1 else ""
+        m = re.match(r"\s*([\w\-]+)\(", rhs)
         if m:
             ops[m.group(1)] += 1
     return ops

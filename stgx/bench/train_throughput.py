@@ -35,7 +35,7 @@ _V5E_HBM_GBPS = 819.0
 def measure_train_throughput(
     model, loss, frames_per_trial=1024, trials=8, scan_lengths=(2, 10),
     dtype=None, iters=3, seed=0, fwd_only=False, use_mask=True,
-    kind="frame", return_samples=False,
+    kind="frame", return_samples=False, compiler_options=None,
 ):
     """Returns (frames_per_second, seconds_per_step) — and, with
     ``return_samples=True``, a third element: the per-repeat frames/s list
@@ -51,7 +51,11 @@ def measure_train_throughput(
     the on-device slope. ``iters`` timed dispatches per length; the minimum
     is kept (jitter is one-sided). ``fwd_only`` drops the grad/adam half
     (forward + loss only) for ablation; the carry then threads the loss back
-    in so the scan body isn't hoisted."""
+    in so the scan body isn't hoisted. ``compiler_options`` (a dict of XLA
+    backend flags, e.g. ``{"xla_tpu_scoped_vmem_limit_kib": "65536"}``) is
+    passed to the AOT ``.compile()`` — this is how ``stgx.bench.xla_probe``
+    A/Bs scheduler/fusion flags WITHIN one process (env-var XLA_FLAGS would
+    force cross-process comparisons, which drift ~20% on the tunnel)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -132,6 +136,10 @@ def measure_train_throughput(
         fn = make_many(s)
         params = model.init(jax.random.PRNGKey(0), x[:1, :64])
         opt_state = tx.init(params)
+        if compiler_options:
+            fn = fn.lower(params, opt_state, x, y, mask).compile(
+                compiler_options=compiler_options
+            )
         params, opt_state, l = fn(params, opt_state, x, y, mask)  # compile
         np.asarray(l)
         times = []
