@@ -358,6 +358,14 @@ def main(argv=None):
                     dtype=dtype, quant=args.quant, state_dtype=state_dtype,
                     scales=scales,
                 )
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            # B streams' FIFO state exceeds HBM: report as the memory
+            # ceiling (late forever) rather than crashing the sweep
+            rec = {**variant, "streams": b, "oom": True, "realtime": False}
+            print(json.dumps(rec), flush=True)
+            return float("inf"), rec
         finally:
             set_acc_step_impl(saved)
         if len(by_impl) > 1:

@@ -172,6 +172,9 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=1024,
                     help="frames per stacked trial (rt) / windows per step "
                     "(st-gcn, W=50 each)")
+    ap.add_argument("--kernel", type=int, default=9,
+                    help="temporal kernel Γ (the published matrix also "
+                    "carries Γ=69 rows, reference README.md:270-272)")
     ap.add_argument("--peak-tflops", type=float, default=_V5E_PEAK_TFLOPS)
     args = ap.parse_args(argv)
 
@@ -193,14 +196,14 @@ def main(argv=None):
         # the reference's frames-of-training-per-second
         model = MODELS["st-gcn"](
             num_classes=52, in_feat=3, graph=load_skeleton("pku-mmd"),
-            normalization="BatchNorm", remat=args.remat,
+            normalization="BatchNorm", remat=args.remat, kernel=args.kernel,
         )
         frames = 50
         trials = max(1, args.frames // frames)
     else:
         model = MODELS[args.model](
             num_classes=52, in_feat=3, graph=load_skeleton("pku-mmd"),
-            normalization="BatchNorm", remat=args.remat,
+            normalization="BatchNorm", remat=args.remat, kernel=args.kernel,
         )
         frames, trials = args.frames, 8
     loss = Loss(np.ones(52, np.float32), "logits")
@@ -212,11 +215,11 @@ def main(argv=None):
     )
     # fwd ≈ macs, bwd ≈ 2×fwd; 2 FLOPs per MAC
     if kind == "window":
-        unit_macs = stgcn_macs_per_window()
+        unit_macs = stgcn_macs_per_window(kernel=args.kernel)
     elif args.model == "co-st-gcn":
         from stgx.utils.flops import costgcn_macs_per_frame
 
-        unit_macs = costgcn_macs_per_frame()
+        unit_macs = costgcn_macs_per_frame(kernel=args.kernel)
     else:
         unit_macs = rt_stgcn_macs_per_frame()
     flops_per_frame = 3 * 2 * unit_macs
