@@ -257,11 +257,27 @@ def _quant_acc_step(state, y, kernel: int, stride: int, site):
     stored, s = _fifo_put(y, state["fifo"].dtype, site)
     fifo = jnp.concatenate([state["fifo"][1:], stored[None]], axis=0)
     depth = fifo.shape[0]
-    taps = [fifo[depth - 1 - i * stride] for i in range(1, k)]
     if s is not None:
-        acc = jnp.sum(jnp.stack(taps).astype(jnp.int32), axis=0)
+        # int8 state: int32 arithmetic is exact, so the deep-kernel
+        # serving form (one whole-FIFO reduction minus the just-stored
+        # slot, instead of a materialized (K-1,...) tap stack — see
+        # temporal.causal_accumulate_step's measured auto rule) gives
+        # bit-identical results and is used under the same conditions
+        if k >= 16 and y.shape[0] >= 8:
+            where = None
+            if stride > 1:
+                tap = jnp.asarray(
+                    [(depth - 1 - i) % stride == 0 for i in range(depth)]
+                )
+                where = tap[:, None, None, None]
+            acc = jnp.sum(fifo, axis=0, dtype=jnp.int32, where=where)
+            acc = acc - stored.astype(jnp.int32)
+        else:
+            taps = [fifo[depth - 1 - i * stride] for i in range(1, k)]
+            acc = jnp.sum(jnp.stack(taps).astype(jnp.int32), axis=0)
         y_t = y + acc.astype(jnp.float32) * s
     else:
+        taps = [fifo[depth - 1 - i * stride] for i in range(1, k)]
         y_t = y + jnp.sum(jnp.stack(taps).astype(y.dtype), axis=0)
     return y_t, {"fifo": fifo}
 

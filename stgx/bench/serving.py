@@ -174,6 +174,12 @@ def measure_stream_capacity_onchip(model, name, params, batch: int,
     with ctx:
         ts_short = timed(frames[:l_short])
         ts_long = timed(frames)
+    # drop this probe's executables: stale programs from earlier batch
+    # sizes in the same sweep otherwise accumulate device memory until a
+    # later compile OOMs spuriously (seen at Γ=69 bf16: B=1024 "OOMed"
+    # mid-bisect yet runs fine in a fresh process); no reuse is lost —
+    # every probe has a different batch shape
+    jax.clear_caches()
     scale = 1e3 / (l_long - l_short)
     step_ms = max((min(ts_long) - min(ts_short)) * scale, 0.0)
     slopes = [
@@ -359,7 +365,10 @@ def main(argv=None):
                     scales=scales,
                 )
         except Exception as e:
-            if "RESOURCE_EXHAUSTED" not in str(e):
+            # runtime OOM reports RESOURCE_EXHAUSTED; the tunnel's AOT
+            # compiler reports a compile-time "Ran out of memory ... hbm"
+            if ("RESOURCE_EXHAUSTED" not in str(e)
+                    and "Ran out of memory" not in str(e)):
                 raise
             # B streams' FIFO state exceeds HBM: report as the memory
             # ceiling (late forever) rather than crashing the sweep

@@ -56,12 +56,18 @@ _ACC_IMPLS = ("auto", "pallas", "xla", "reduce_window", "slices", "toeplitz")
 _ACC_IMPL = _os.environ.get("STGX_ACC_IMPL", "auto")
 
 # Streaming-step form (causal_accumulate_step): "taps" = K-1 static slices
-# summed (the round-4 shift-FIFO default), "fifo_sum" = one reduction over
-# the whole FIFO (masked per stride phase) — O(1) HLO ops instead of O(Γ),
-# candidate for deep kernels (Γ=69). A/B on the real chip before changing
-# the default; values agree up to fp add order.
-_ACC_STEP_IMPLS = ("taps", "fifo_sum")
-_ACC_STEP_IMPL = _os.environ.get("STGX_ACC_STEP_IMPL", "taps")
+# summed (the round-4 shift-FIFO form), "fifo_sum" = one reduction over
+# the whole FIFO (masked per stride phase) — O(1) HLO ops instead of O(Γ)
+# and no materialized (K-1,B,V,C) tap stack. Measured on one v5e
+# (serving.py --acc-step-impls, one process each, 2026-08-21): at Γ=9
+# taps wins everywhere tried (B=1 and B=2048, fifo_sum +6%); at Γ=69
+# taps wins only B=1 (fifo_sum 3.3× worse — latency-bound, the masked
+# reduction over the 69-deep FIFO is pure overhead for one stream) while
+# fifo_sum wins B≥8 (−23% at B=8, −40% at B=32, −20% at B=256 where the
+# tap-stack traffic binds). "auto" (default) picks fifo_sum iff
+# K ≥ 16 and the stream batch ≥ 8, else taps.
+_ACC_STEP_IMPLS = ("auto", "taps", "fifo_sum")
+_ACC_STEP_IMPL = _os.environ.get("STGX_ACC_STEP_IMPL", "auto")
 
 
 def set_acc_impl(name: str) -> None:
@@ -329,9 +335,15 @@ def causal_accumulate_step(state, x_t, kernel_size: int, stride: int):
     if k == 1:
         return x_t, state
 
+    impl = _ACC_STEP_IMPL
+    if impl == "auto":
+        # measurement-backed rule (see _ACC_STEP_IMPLS note): deep kernels
+        # at serving batches are bound by the tap-stack traffic, single
+        # streams and shallow kernels by op count
+        impl = "fifo_sum" if (k >= 16 and x_t.shape[0] >= 8) else "taps"
     fifo = jnp.concatenate([state["fifo"][1:], x_t[None]], axis=0)
     depth = fifo.shape[0]
-    if _ACC_STEP_IMPL == "fifo_sum":
+    if impl == "fifo_sum":
         # one fused reduction over the whole FIFO instead of K-1 static
         # slices (the slice list is O(Γ) ops at Γ=69); non-tap slots are
         # masked by a constant 0/1 vector when stride > 1 — values equal
